@@ -1,0 +1,103 @@
+"""Materialization: sorted NQuads-equivalent output + stage
+checkpoints (resumable runs).
+
+The canonical output (O-24) is a globally-sorted text/parquet dataset:
+``orderBy`` is a range-partition shuffle, each output file is sorted,
+and files are totally ordered by index — the distributed equivalent of
+serd's single sorted stream.  Iceberg is the design target
+(BASELINE.json); this sandbox has no Iceberg jars, so the table format
+is pluggable and defaults to parquet with the same directory/snapshot
+semantics (checkpoint dir + _DONE marker standing in for a snapshot).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .canonicalize import nquads_line_col
+
+SORT_KEY = ["g", "s", "p", "o", "o_type", "o_datatype", "o_lang"]
+
+
+def to_nquads_lines(triples: DataFrame) -> DataFrame:
+    return triples.select(
+        "conv_id", "stmt_idx", nquads_line_col(triples).alias("line"))
+
+
+def write_sorted_nquads(
+    triples: DataFrame, path: str, fmt: str = "parquet",
+    partitions: int | None = None,
+) -> None:
+    """Global sort on the quad key → one sorted dataset.
+
+    Range-partition shuffle; AQE coalesces small post-sort partitions.
+    For text output each part file is sorted and part files are
+    ordered, so `cat part-*` is the canonical stream.
+    """
+    out = to_nquads_lines(
+        triples.orderBy(*[F.col(c).asc_nulls_first() for c in SORT_KEY]))
+    writer = out.select("line").write.mode("overwrite")
+    if partitions:
+        out = out.coalesce(partitions)
+        writer = out.select("line").write.mode("overwrite")
+    if fmt == "text":
+        writer.text(path)
+    else:
+        writer.format(fmt).save(path)
+
+
+# ---- stage checkpoints (resume + lineage metrics) ----
+
+
+def _done_marker(path: str) -> str:
+    return os.path.join(path, "_DONE.json")
+
+
+def checkpoint_exists(path: str) -> bool:
+    return os.path.exists(_done_marker(path))
+
+
+def write_checkpoint(
+    df: DataFrame, path: str, stage: str, fmt: str = "parquet",
+    partition_by: list[str] | None = None, metrics: dict | None = None,
+) -> dict:
+    """Write a stage checkpoint + _DONE marker with row/partition
+    metrics.  A later run resumes by reading the checkpoint instead of
+    recomputing the stage (read_checkpoint)."""
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    t0 = time.time()
+    w.save(path)
+    spark = df.sparkSession
+    back = spark.read.format(fmt).load(path)
+    n = back.count()
+    info = {
+        "stage": stage,
+        "rows": n,
+        "elapsed_sec": round(time.time() - t0, 3),
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "format": fmt,
+    }
+    if metrics:
+        info.update(metrics)
+    with open(_done_marker(path), "w") as f:
+        json.dump(info, f)
+    return info
+
+
+def read_checkpoint(spark: SparkSession, path: str,
+                    fmt: str = "parquet") -> DataFrame:
+    return spark.read.format(fmt).load(path)
+
+
+def checkpoint_info(path: str) -> dict | None:
+    m = _done_marker(path)
+    if not os.path.exists(m):
+        return None
+    with open(m) as f:
+        return json.load(f)

@@ -1,0 +1,265 @@
+"""Parse stages: transcripts DataFrame → triples DataFrame.
+
+Three paths, all Arrow-batched (no per-row Python UDFs):
+
+1. ``parse_documents`` — the default Turtle/TriG path: one
+   conversation = one document, grouped-map ``applyInPandas`` over
+   ``conv_id`` with the in-order Env fold inside the UDF (SURVEY.md
+   O-6/O-8; document order cannot be a global join).
+
+2. ``parse_documents_chunked`` — the mega-conversation skew path:
+   conversations are split at turn boundaries (statement boundaries by
+   the F1 invariant) into bounded chunks; each chunk's directive patch
+   list is extracted in the same pass, the tiny patch table is folded
+   per conversation and broadcast back, and chunks parse independently
+   with a seeded Env + offset blank ids (pure function of
+   (conv, chunk, position) — deterministic under retries).
+
+3. ``parse_ntriples_lines`` — NTriples/NQuads: line-based, so the
+   stage is a shuffle-free explode + mapInPandas; the embarrassingly
+   parallel syntax (SURVEY.md O-7).
+
+Output schema is shared: triple rows plus quarantined error rows
+(``err`` non-null), serd's lax semantics (O-17) — bad input never
+fails the job; strict mode is a downstream filter/assert.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..env import Env
+from ..ntriples import NTParseError, parse_nt_line
+from ..escapes import EscapeError
+from ..turtle import TurtleParser
+from ..uri import uri_is_absolute, uri_resolve
+
+# Unified output of every parse stage: triples + quarantined errors.
+PARSED_SCHEMA = (
+    "conv_id string, stmt_idx long, g string, s string, s_type int, "
+    "p string, o string, o_type int, o_datatype string, o_lang string, "
+    "err string"
+)
+
+DEFAULT_BASE_TEMPLATE = "http://transcripts.example/{conv_id}"
+
+_COLS = ["conv_id", "stmt_idx", "g", "s", "s_type", "p", "o", "o_type",
+         "o_datatype", "o_lang", "err"]
+
+
+def _rows_for_doc(
+    conv_id: str,
+    text: str,
+    base_uri: str,
+    syntax: str,
+    lax: bool,
+    init_prefixes: Optional[dict] = None,
+    init_base: Optional[str] = None,
+    blank_offset: int = 0,
+    stmt_offset: int = 0,
+) -> list[tuple]:
+    parser = TurtleParser(
+        text,
+        base_uri=init_base if init_base else base_uri,
+        blank_prefix=f"{conv_id}-",
+        trig=(syntax == "trig"),
+        lax=lax,
+        init_prefixes=init_prefixes,
+        blank_offset=blank_offset,
+    )
+    triples, errors = parser.parse()
+    rows = [
+        (conv_id, stmt_offset + i, t.g, t.s, t.s_type, t.p, t.o, t.o_type,
+         t.o_datatype, t.o_lang, None)
+        for i, t in enumerate(triples)
+    ]
+    n_triples = len(rows)
+    rows.extend(
+        (conv_id, stmt_offset + n_triples + j, None, None, None, None, None,
+         None, None, None, f"pos {pos}: {msg}")
+        for j, (pos, msg) in enumerate(errors)
+    )
+    return rows
+
+
+def parse_documents(
+    transcripts: DataFrame,
+    syntax: str = "turtle",
+    lax: bool = True,
+    base_template: str = DEFAULT_BASE_TEMPLATE,
+) -> DataFrame:
+    """Default path: applyInPandas per conv_id, turns ordered by
+    turn_idx inside the UDF (north rule's stable turn ordering)."""
+
+    def parse_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        conv_id = pdf["conv_id"].iloc[0]
+        text = "\n".join(pdf["text"].tolist())
+        base = base_template.format(conv_id=conv_id)
+        rows = _rows_for_doc(conv_id, text, base, syntax, lax)
+        return pd.DataFrame(rows, columns=_COLS)
+
+    return (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandas(parse_group, schema=PARSED_SCHEMA)
+    )
+
+
+# ---- chunked mega-conversation path ----
+
+CHUNK_SCHEMA = ("conv_id string, chunk_idx int, text string, "
+                "patch string")
+
+
+def assemble_chunks(
+    transcripts: DataFrame, chunk_turns: int = 64, syntax: str = "turtle"
+) -> DataFrame:
+    """Group turns into bounded chunks and extract each chunk's
+    directive patch (one pass over the text)."""
+    from ..turtle import scan_directives
+
+    trig = syntax == "trig"
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        conv_id = pdf["conv_id"].iloc[0]
+        chunk_idx = int(pdf["chunk_idx"].iloc[0])
+        text = "\n".join(pdf["text"].tolist())
+        patch = scan_directives(text, trig=trig)
+        return pd.DataFrame(
+            [(conv_id, chunk_idx, text,
+              json.dumps(patch) if patch else None)],
+            columns=["conv_id", "chunk_idx", "text", "patch"],
+        )
+
+    return (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .withColumn("chunk_idx",
+                    (F.col("turn_idx") / F.lit(chunk_turns)).cast("int"))
+        .groupBy("conv_id", "chunk_idx")
+        .applyInPandas(build, schema=CHUNK_SCHEMA)
+    )
+
+
+def fold_patches(patches: list[tuple[int, str]], upto_chunk: int,
+                 base_uri: str) -> Env:
+    """Fold directive patches of chunks < upto_chunk, in order."""
+    env = Env(base_uri)
+    for chunk_idx, patch_json in sorted(patches, key=lambda x: x[0]):
+        if chunk_idx >= upto_chunk or not patch_json:
+            continue
+        for kind, name, raw in json.loads(patch_json):
+            if kind == "base":
+                env.set_base_uri(raw)
+            else:
+                env.set_prefix(name, raw)
+    return env
+
+
+def parse_documents_chunked(
+    transcripts: DataFrame,
+    chunk_turns: int = 64,
+    syntax: str = "turtle",
+    lax: bool = True,
+    base_template: str = DEFAULT_BASE_TEMPLATE,
+    chunks: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Skew-splitting path.  ``chunks`` may be passed pre-computed
+    (e.g. read back from a stage checkpoint) to avoid recomputing the
+    assemble pass for the patch aggregate and the parse."""
+    if chunks is None:
+        chunks = assemble_chunks(transcripts, chunk_turns, syntax)
+
+    # Tiny per-conversation patch aggregate → broadcast.
+    patch_tbl = (
+        chunks.where(F.col("patch").isNotNull())
+        .groupBy("conv_id")
+        .agg(F.sort_array(
+            F.collect_list(F.struct("chunk_idx", "patch"))).alias("patches"))
+    )
+
+    joined = chunks.join(F.broadcast(patch_tbl), "conv_id", "left")
+
+    def parse_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for r in pdf.itertuples(index=False):
+                conv_id = r.conv_id
+                chunk_idx = int(r.chunk_idx)
+                base = base_template.format(conv_id=conv_id)
+                patches = (
+                    [(int(p["chunk_idx"]), p["patch"]) for p in r.patches]
+                    if r.patches is not None and len(r.patches) else []
+                )
+                env = fold_patches(patches, chunk_idx, base)
+                out.extend(
+                    _rows_for_doc(
+                        conv_id, r.text, base, syntax, lax,
+                        init_prefixes=env.prefixes,
+                        init_base=env.base_uri,
+                        # genids: pure function of (conv, chunk, n)
+                        blank_offset=chunk_idx << 32,
+                        stmt_offset=chunk_idx << 40,
+                    )
+                )
+            yield pd.DataFrame(out, columns=_COLS)
+
+    return joined.mapInPandas(parse_part, schema=PARSED_SCHEMA)
+
+
+# ---- NTriples / NQuads line path ----
+
+
+def parse_ntriples_lines(
+    transcripts: DataFrame,
+    nquads: bool = True,
+    lax: bool = True,
+    salt_blanks: bool = True,
+) -> DataFrame:
+    """Shuffle-free NT/NQ parse: split turns into lines, Arrow-batch
+    them through the line parser.  Statement index = (turn_idx, line
+    position), deterministic without any global counter."""
+    lines = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line"),
+    ).where(F.trim(F.col("line")) != "")
+
+    def parse_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for r in pdf.itertuples(index=False):
+                stmt_idx = (int(r.turn_idx) << 20) | int(r.line_no)
+                prefix = f"{r.conv_id}-" if salt_blanks else ""
+                try:
+                    t = parse_nt_line(r.line, blank_prefix=prefix,
+                                      nquads=nquads)
+                except (NTParseError, EscapeError) as e:
+                    out.append((r.conv_id, stmt_idx, None, None, None, None,
+                                None, None, None, None, str(e)))
+                    continue
+                if t is None:
+                    continue
+                out.append((r.conv_id, stmt_idx, t.g, t.s, t.s_type, t.p,
+                            t.o, t.o_type, t.o_datatype, t.o_lang, None))
+            yield pd.DataFrame(out, columns=_COLS)
+
+    return lines.mapInPandas(parse_part, schema=PARSED_SCHEMA)
+
+
+def split_quarantine(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(triples, errors) — serd's lax semantics as a filter pair."""
+    triples = parsed.where(F.col("err").isNull()).drop("err")
+    errors = parsed.where(F.col("err").isNotNull()).select(
+        "conv_id", F.col("stmt_idx").alias("err_idx"), "err")
+    return triples, errors
+
+
+def resolve_iri_series(s: pd.Series, base: str) -> pd.Series:
+    """Vectorized relative-IRI resolution for standalone use (O-20)."""
+    return s.map(lambda v: v if uri_is_absolute(v) else uri_resolve(v, base))

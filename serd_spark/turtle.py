@@ -70,7 +70,23 @@ class TurtleParser:
         trig: bool = False,
         lax: bool = False,
         default_graph: Optional[str] = None,
+        init_prefixes: Optional[dict[str, str]] = None,
+        blank_offset: int = 0,
+        scan_only: bool = False,
     ):
+        """``init_prefixes``/``base_uri`` seed the Env (used by the
+        chunked mega-conversation path, where earlier chunks' directive
+        patches are folded in before parsing this chunk).
+
+        ``blank_offset`` offsets generated blank ids so chunk k of a
+        split document can't collide with chunk j — genids stay a pure
+        function of (conv, chunk, position), never a shared counter.
+
+        ``scan_only`` runs the full grammar but suppresses emission and
+        tolerates unknown prefixes; it exists to extract the in-order
+        directive patch list (``self.directives``) from a chunk without
+        knowing the upstream Env yet.
+        """
         # Strip a leading UTF-8 BOM (byte-source parity).
         if text.startswith("﻿"):
             text = text[1:]
@@ -78,15 +94,22 @@ class TurtleParser:
         self.i = 0
         self.n = len(text)
         self.env = Env(base_uri)
+        if init_prefixes:
+            self.env.prefixes.update(init_prefixes)
         self.trig = trig
         self.lax = lax
         self.default_graph = default_graph
         self.bprefix = blank_prefix
-        self.next_id = 1
+        self.next_id = 1 + blank_offset
         self.seen_genid = False
+        self.scan_only = scan_only
         self.graph: Optional[Node] = None
         self.triples: list[Triple] = []
         self.errors: list[tuple[int, str]] = []
+        # In-order directive patch list: ('prefix', name, raw_uri) or
+        # ('base', '', raw_uri); raw = before base-resolution so the
+        # fold can chain bases across chunks.
+        self.directives: list[tuple[str, str, str]] = []
 
     # ---- low-level cursor ----
 
@@ -143,6 +166,8 @@ class TurtleParser:
                  else self.graph.value)
         else:
             g = self.default_graph
+        if self.scan_only:
+            return
         self.triples.append(
             Triple(g, s.value, s.type, p.value, o.value, o.type,
                    o.datatype, o.lang)
@@ -214,6 +239,7 @@ class TurtleParser:
         self.expect(":")
         self.skip_ws()
         uri = self.read_iriref_raw()
+        self.directives.append(("prefix", name, uri))
         self.env.set_prefix(name, uri)
         if not sparql:
             self.skip_ws()
@@ -222,6 +248,7 @@ class TurtleParser:
     def read_base_body(self, sparql: bool) -> None:
         self.skip_ws()
         uri = self.read_iriref_raw()
+        self.directives.append(("base", "", uri))
         self.env.set_base_uri(uri)
         if not sparql:
             self.skip_ws()
@@ -568,7 +595,13 @@ class TurtleParser:
             raise ParseError(f"expected ':' after {word!r}", start)
         self.i += 1  # ':'
         local, _ = self.read_pn_local()
-        iri = self.env.expand(name, local)
+        try:
+            iri = self.env.expand(name, local)
+        except CurieError:
+            if not self.scan_only:
+                raise
+            # scan mode: prefix may be defined in an earlier chunk
+            iri = f"urn:serd-spark-scan:{name}:{local}"
         return Node(iri, URI), False
 
     def read_blank_label(self) -> Node:
@@ -825,9 +858,24 @@ def parse_turtle(
     trig: bool = False,
     lax: bool = False,
     default_graph: Optional[str] = None,
+    init_prefixes: Optional[dict[str, str]] = None,
+    blank_offset: int = 0,
 ) -> tuple[list[Triple], list[tuple[int, str]]]:
     """Convenience wrapper: parse a whole Turtle/TriG document."""
     return TurtleParser(
         text, base_uri=base_uri, blank_prefix=blank_prefix, trig=trig,
         lax=lax, default_graph=default_graph,
+        init_prefixes=init_prefixes, blank_offset=blank_offset,
     ).parse()
+
+
+def scan_directives(
+    text: str, trig: bool = False
+) -> list[tuple[str, str, str]]:
+    """Extract the in-order directive patch list from a document chunk
+    (full-grammar scan, emission suppressed, unknown prefixes
+    tolerated).  Used by the chunked mega-conversation path to fold
+    Env state across chunk boundaries."""
+    p = TurtleParser(text, trig=trig, lax=True, scan_only=True)
+    p.parse()
+    return p.directives
