@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: token counting, quality scoring, n-gram language
+ID heuristic, document fingerprinting.
+
+All stages are JVM-side column expressions (whole-stage codegen, no
+Python in the hot path) and each has an exact DuckDB-SQL mirror in
+``__spark_entry__.oracle_sql`` — the definitions below are chosen to
+be engine-portable (explicit char classes, md5, deterministic
+tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic (deterministic, no model).
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"] + ["a", "in", "it", "for", "on"]
+
+PUNCT_CLASS = r"[.,!?;:]"
+# BPE-ish token regex: words, numbers, or single punctuation marks.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text))
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count via regexp_count (words+numbers+punct)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features +
+    a combined score in [0,1] (deterministic heuristic)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = token_count_col(text)
+    n_punct = F.regexp_count(text, F.lit(PUNCT_CLASS))
+    stop_hits = sum(
+        (F.regexp_count(F.lower(text),
+                        F.lit(r"\b" + w + r"\b")).cast("long")
+         for w in STOPWORDS_EN),
+        F.lit(0).cast("long"),
+    )
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6)
+    mean_tok_len = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6)
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * 0.4
+        + F.least(F.lit(1.0), stop_ratio * F.lit(4.0)) * 0.4
+        + F.when(punct_ratio < 0.1, F.lit(0.2)).otherwise(F.lit(0.0)),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: count word-boundary hits per
+    language, argmax with lexicographic tie-break."""
+    text = F.lower(F.col(text_col))
+    scores = {
+        lang: sum(
+            (F.regexp_count(text, F.lit(r"\b" + w + r"\b")).cast("long")
+             for w in words),
+            F.lit(0).cast("long"),
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    # argmax via greatest + chained when (deterministic tie-break:
+    # first language in sorted order wins ties)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}")
+          for lang in sorted(LANG_STOPWORDS)],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text (rolling-hash stand-in; md5 exists in both engines)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                            r"\s+", " ")
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("long").alias("norm_len"))

@@ -1,0 +1,100 @@
+"""Mimics the driver's correctness gate: run each __spark_entry__
+query AND its DuckDB oracle on the same parquet tables, compare
+row-count + column names + order-insensitive values (exact equality,
+like the driver's value hash)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+pytestmark = [
+    pytest.mark.spark,
+    pytest.mark.skipif(not os.path.isdir(SF_DIR),
+                       reason="testdata not available"),
+]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def _rows_sorted(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in idx) for r in rows
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+
+    sdf = q(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(SF_DIR)
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (s_cols, d_cols)
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs oracle {len(d_rows)}")
+    a = _rows_sorted(s_cols, s_rows)
+    b = _rows_sorted(d_cols, d_rows)
+    mism = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mism, f"{name}: first mismatches {mism[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "s" in df.columns and "p" in df.columns and "o" in df.columns
+
+
+def test_rows_only_queries(spark):
+    for name in ["kg_parse_turtle", "srp_ann"]:
+        df = entrymod.queries()[name](spark, SF_DIR)
+        assert df.count() > 0, name
+
+
+def test_srp_ann_recall(spark):
+    """ANN quality gate: recall@10 vs brute force ≥ 0.8 with 6 LSH
+    tables × 5 planes + multiprobe on the 64-d synthetic embeddings."""
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.similarity import ann_recall_vs_exact
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8)
+    r = ann_recall_vs_exact(emb, q, k=10, n_planes=5, n_tables=6)
+    assert r >= 0.8, r
