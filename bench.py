@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG-parse
+scaling run at two parallelism levels (local[8] vs local[32]) on an
+identical pre-generated corpus — the sandbox substitute for the
+N-vs-4N-executor cluster sizes (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "kg": {...scaling numbers...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "6000000"))
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+SCALE_4N = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "32"))
+CORPUS_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CORPUS",
+                             "/tmp/serd_spark_bench")
+
+HEADLINE = [
+    "nt_roundtrip", "agg_pricing", "broadcast_expand",
+    "anti_join_undefined", "window_stmt_idx", "explode_fanout",
+    "sorted_topk", "join_revenue", "set_ops", "exact_dedup",
+    "minhash_lsh", "ngram_jaccard", "simhash", "cosine_topk",
+    "quality", "langid", "fingerprint", "token_counts",
+]
+
+
+def _mk_spark(cores: int, shuffle: int):
+    from serd_spark.session import get_spark
+
+    s = get_spark(f"serd_spark-bench-{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=shuffle)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def ensure_corpus(n_turns: int) -> tuple[str, int]:
+    """Generate the scaling corpus once (deterministic, seed 42);
+    reused identically by both parallelism runs."""
+    from pyspark.sql import functions as F
+
+    from serd_spark.transcripts import transcripts_df
+
+    # ~8 turns/conv + 1/128 mega-convs at 100x → ~14.2 turns/conv avg
+    n_convs = max(64, int(n_turns / 14.2))
+    path = os.path.join(CORPUS_ROOT, f"corpus_{n_convs}")
+    marker = os.path.join(path, "_GENDONE.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return path, json.load(f)["turns"]
+    spark = _mk_spark(CPUS, 64)
+    try:
+        df = transcripts_df(spark, n_convs, partitions=max(64, CPUS * 4))
+        df.write.mode("overwrite").parquet(path)
+        turns = spark.read.parquet(path).count()
+        with open(marker, "w") as f:
+            json.dump({"turns": turns, "convs": n_convs}, f)
+    finally:
+        spark.stop()
+    return path, turns
+
+
+def kg_parse_job(spark, corpus_path: str) -> tuple[int, float]:
+    """The measured job: read parquet transcripts → chunked skew-split
+    Turtle parse → triple count (forces full computation)."""
+    from serd_spark.operators.parse import (
+        parse_documents_chunked,
+        split_quarantine,
+    )
+
+    t0 = time.time()
+    tdf = spark.read.parquet(corpus_path)
+    triples, _ = split_quarantine(parse_documents_chunked(
+        tdf, chunk_turns=64))
+    n = triples.count()
+    return n, time.time() - t0
+
+
+def scaling_run(corpus_path: str, turns: int) -> dict:
+    out = {"turns": turns, "corpus": corpus_path}
+    for cores, key in ((SCALE_N, "N"), (SCALE_4N, "4N")):
+        spark = _mk_spark(cores, 128)
+        try:
+            n_triples, sec = kg_parse_job(spark, corpus_path)
+        finally:
+            spark.stop()
+        out[f"cores_{key}"] = cores
+        out[f"sec_{key}"] = round(sec, 2)
+        out[f"turns_per_sec_{key}"] = round(turns / sec, 1)
+        out[f"triples_{key}"] = n_triples
+        out[f"triples_per_sec_{key}"] = round(n_triples / sec, 1)
+    ratio = SCALE_4N / SCALE_N
+    out["scaling_efficiency"] = round(
+        out["turns_per_sec_4N"] / (ratio * out["turns_per_sec_N"]), 3)
+    return out
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
+
+    corpus_path, turns = ensure_corpus(BENCH_TURNS)
+
+    spark = _mk_spark(CPUS, 64)
+    try:
+        t0 = time.time()
+        queries = run_headline(spark, SF_DIR)
+        headline_total = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+
+    kg = None if skip_scaling else scaling_run(corpus_path, turns)
+
+    result = {
+        "metric": "headline_total",
+        "value": headline_total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if kg:
+        result["kg"] = kg
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Tests for canonicalize / expand / multimodal / streaming stages."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+def _triples_df(spark):
+    rows = [
+        ("c1", 0, None, "http://a/s", 2, "http://a/p", "hello\nworld", 1,
+         None, "en"),
+        ("c1", 1, None, "b1", 4, "http://a/p", "http://a/o", 2, None, None),
+        ("c1", 2, "http://g/", "http://a/s", 2, "http://a/p", "42", 1,
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        # duplicate of row 0 with later stmt_idx
+        ("c1", 3, None, "http://a/s", 2, "http://a/p", "hello\nworld", 1,
+         None, "en"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, stmt_idx long, g string, s string, s_type int, "
+        "p string, o string, o_type int, o_datatype string, o_lang string",
+    )
+
+
+def test_dedup_keeps_first(spark):
+    from serd_spark.operators.canonicalize import dedup_triples
+
+    out = dedup_triples(_triples_df(spark)).collect()
+    assert len(out) == 3
+    kept = [r for r in out if r.o == "hello\nworld"]
+    assert kept[0].stmt_idx == 0  # smallest stmt_idx wins
+
+
+def test_nquads_lines_canonical(spark):
+    from serd_spark.operators.canonicalize import nquads_line_col
+    from serd_spark.ntriples import parse_ntriples
+
+    df = _triples_df(spark)
+    lines = [r[0] for r in df.select(nquads_line_col(df)).collect()]
+    assert '"hello\\nworld"@en' in lines[0]
+    assert lines[1].startswith("_:b1 ")
+    assert lines[2].endswith("<http://g/> .")
+    # canonical lines must re-parse losslessly
+    triples, errors = parse_ntriples("\n".join(lines))
+    assert not errors
+    assert len(triples) == 4
+
+
+def test_intern_nodes_roundtrip(spark):
+    from serd_spark.operators.canonicalize import intern_nodes
+
+    nodes, tid = intern_nodes(_triples_df(spark))
+    n = nodes.collect()
+    assert len(n) == len({(r.value, r.type, r.datatype, r.lang) for r in n})
+    # every referenced id resolves
+    ids = {r.node_id for r in n}
+    for r in tid.collect():
+        assert r.s_id in ids and r.p_id in ids and r.o_id in ids
+
+
+def test_expand_and_qualify(spark):
+    from serd_spark.operators.expand import (
+        expand_curies,
+        latest_prefixes,
+        qualify_uris,
+        undefined_prefixes,
+    )
+
+    log = spark.createDataFrame(
+        [("ex", "http://one/", 0), ("ex", "http://two/", 5),
+         ("kg", "http://kg/", 1)],
+        "name string, uri string, stmt_idx long")
+    prefixes = latest_prefixes(log)
+    got = {(r.name, r.uri) for r in prefixes.collect()}
+    assert got == {("ex", "http://two/"), ("kg", "http://kg/")}
+
+    curies = spark.createDataFrame(
+        [("ex:a",), ("kg:b",), ("nope:c",)], "curie string")
+    exp = {r.curie: r.iri for r in expand_curies(curies, prefixes).collect()}
+    assert exp["ex:a"] == "http://two/a"
+    assert exp["kg:b"] == "http://kg/b"
+    assert exp["nope:c"] is None
+
+    undef = [r.curie for r in
+             undefined_prefixes(curies, prefixes).collect()]
+    assert undef == ["nope:c"]
+
+    uris = spark.createDataFrame(
+        [("http://two/x",), ("http://kg/y",), ("http://other/z",)],
+        "iri string")
+    q = {r.iri: r.curie for r in qualify_uris(uris, prefixes).collect()}
+    assert q["http://two/x"] == "ex:x"
+    assert q["http://kg/y"] == "kg:y"
+    assert q["http://other/z"] is None
+
+
+def test_multimodal_plumbing(spark):
+    from serd_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, 24)
+    feats = extract_features(media).collect()
+    assert len(feats) == 24
+    assert all(r.ok for r in feats)
+    assert all(len(r.feat) == 8 for r in feats)
+    # deterministic: same payload → same features
+    again = {r.media_id: r.feat for r in
+             extract_features(media).collect()}
+    for r in feats:
+        assert again[r.media_id] == r.feat
+
+    frames = frame_sample_plan(media, every_ms=5000)
+    assert frames.count() > 0
+    assert frames.where(F.col("frame_ts_ms") % 5000 != 0).count() == 0
+
+
+def test_streaming_incremental_parse(spark, tmpdir_path):
+    from serd_spark.streaming.ingest import start_incremental_parse
+    from serd_spark.transcripts import transcripts_df
+
+    inp = os.path.join(tmpdir_path, "in")
+    out = os.path.join(tmpdir_path, "out")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+
+    transcripts_df(spark, 6, mega_every=0).write.parquet(inp)
+    q = start_incremental_parse(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(f"{out}/triples").count()
+    assert n1 > 0
+
+    # late-arriving batch: append more conversations, stream again
+    from serd_spark.transcripts import TRANSCRIPT_SCHEMA, conv_turns
+
+    extra = []
+    for c in range(100, 103):
+        extra.extend(conv_turns(c, mega_every=0))
+    spark.createDataFrame(extra, TRANSCRIPT_SCHEMA) \
+        .write.mode("append").parquet(inp)
+    q2 = start_incremental_parse(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(f"{out}/triples").count()
+    assert n2 > n1
+
+
+def test_windowed_turn_counts_batch(spark):
+    from serd_spark.streaming.ingest import windowed_turn_counts
+    from serd_spark.transcripts import transcripts_df
+
+    tdf = transcripts_df(spark, 5, mega_every=0)
+    out = windowed_turn_counts(tdf)
+    assert out.count() > 0
+    total = out.agg(F.sum("n_turns")).first()[0]
+    assert total == tdf.count()
