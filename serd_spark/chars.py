@@ -57,3 +57,81 @@ def iri_char_ok(ch: str) -> bool:
 
 # PN_LOCAL_ESC set (Turtle §6.5, production 172s).
 PN_LOCAL_ESC = set("_~.-!$&'()*+,;=/?#@%")
+
+
+def decode_rdf_text(data, lax: bool):
+    """UTF-8 decode with the reference reader's semantics
+    (/root/reference/src/read_utf8.c:15-89): strict mode errors at the
+    first invalid sequence; lax mode substitutes U+FFFD and continues.
+
+    Returns ``(text, error)`` where error is ``(line_no, message)`` or
+    None; in strict mode ``text`` is the valid prefix before the bad
+    byte (the reader aborts there, like serd's strict reader).
+    """
+    if isinstance(data, str):
+        return data, None
+    data = bytes(data)
+    try:
+        return data.decode("utf-8"), None
+    except UnicodeDecodeError as e:
+        if lax:
+            return lax_utf8_decode(data), None
+        line = data[: e.start].count(b"\n") + 1
+        prefix = data[: e.start].decode("utf-8", errors="replace")
+        return prefix, (line, f"bad UTF-8 byte 0x{data[e.start]:X}")
+
+
+def _utf8_num_bytes(lead: int) -> int:
+    if lead < 0x80:
+        return 1
+    if (lead & 0xE0) == 0xC0:
+        return 2
+    if (lead & 0xF0) == 0xE0:
+        return 3
+    if (lead & 0xF8) == 0xF0:
+        return 4
+    return 0
+
+
+def lax_utf8_decode(data: bytes) -> str:
+    """Serd's lax UTF-8 repair (read_utf8.c read_utf8_continuation):
+    one U+FFFD per failed *sequence attempt* — the bad lead byte plus
+    any continuation bytes consumed before the failure — not Python's
+    one-per-maximal-subpart.  A non-continuation byte that ends an
+    attempt is NOT consumed (the reader only peeked at it)."""
+    out: list[str] = []
+    i, n = 0, len(data)
+    while i < n:
+        lead = data[i]
+        if lead < 0x80:
+            out.append(chr(lead))
+            i += 1
+            continue
+        size = _utf8_num_bytes(lead)
+        if size == 0:
+            out.append("�")
+            i += 1
+            continue
+        j = i + 1
+        ok = True
+        while j < i + size:
+            if j >= n or (data[j] & 0xC0) != 0x80:
+                ok = False
+                break
+            j += 1
+        if not ok:
+            out.append("�")
+            i = j  # lead + consumed continuations; terminator stays
+            continue
+        try:
+            out.append(data[i:j].decode("utf-8"))
+        except UnicodeDecodeError:
+            # structurally complete but semantically invalid
+            # (overlong/surrogate/out-of-range): serd passes the raw
+            # bytes through; closest str equivalent is the code point
+            code = lead & (0x7F >> size)
+            for k in range(i + 1, j):
+                code = (code << 6) | (data[k] & 0x3F)
+            out.append(chr(code) if code <= 0x10FFFF else "�")
+        i = j
+    return "".join(out)

@@ -26,13 +26,17 @@ class EscapeError(ValueError):
     pass
 
 
-def decode_uchar(hex_str: str) -> str:
+def decode_uchar(hex_str: str, lax: bool = False) -> str:
     """Decode the hex payload of a \\u or \\U escape; reject surrogates
-    and out-of-range code points (cf. src/n3.c:82-97)."""
+    and out-of-range code points (cf. src/n3.c:82-101).  Lax mode
+    passes surrogates through and substitutes U+FFFD for out-of-range
+    (the reference's non-strict read_UCHAR branches)."""
     code = int(hex_str, 16)
-    if 0xD800 <= code <= 0xDFFF:
+    if 0xD800 <= code <= 0xDFFF and not lax:
         raise EscapeError(f"escape U+{code:04X} is a surrogate")
     if code > 0x10FFFF:
+        if lax:
+            return "�"
         raise EscapeError(f"escape U+{code:X} out of range")
     return chr(code)
 

@@ -16,7 +16,13 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-from .chars import is_digit, is_hex, is_pn_chars, is_pn_chars_u
+from .chars import (
+    decode_rdf_text,
+    is_digit,
+    is_hex,
+    is_pn_chars,
+    is_pn_chars_u,
+)
 from .escapes import EscapeError, unescape_string, unescape_uchar_only
 from .nodes import BLANK, LITERAL, URI, Node, Triple
 from .uri import uri_is_absolute
@@ -51,6 +57,19 @@ _LINE_RE = re.compile(
 
 _COMMENT_RE = re.compile(r"^[ \t\r\n]*(?:#.*)?$")
 
+# Lax variant: raw control chars/space stay inside IRIs with a warning
+# (n3.c:646-655 non-strict branch); exclusion set still forbidden.
+_IRI_LAX = (r"<((?:[^<>\"{}|^`\\]"
+            r"|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*)>")
+_LINE_RE_LAX = re.compile(
+    "^" + _OWS
+    + f"(?:{_IRI_LAX}|{_BLANK})" + _WS
+    + _IRI_LAX + _WS
+    + f"(?:{_IRI_LAX}|{_BLANK}|{_LIT})"
+    + f"(?:{_WS}(?:{_IRI_LAX}|{_BLANK}))?"
+    + _OWS + r"\." + _OWS + r"(?:#.*)?$"
+)
+
 
 def _check_label(label: str) -> str:
     """Validate an N-Triples blank label (permissive regex above may
@@ -78,13 +97,16 @@ def _iri(raw: str, what: str) -> str:
 
 
 def parse_nt_line(
-    line: str, blank_prefix: str = "", nquads: bool = True
+    line: str, blank_prefix: str = "", nquads: bool = True,
+    lax: bool = False,
 ) -> Optional[Triple]:
     """Parse one N-Triples/N-Quads line → Triple, or None for blank/
     comment lines.  Raises NTParseError on bad syntax."""
     if _COMMENT_RE.match(line):
         return None
     m = _LINE_RE.match(line)
+    if m is None and lax:
+        m = _LINE_RE_LAX.match(line)
     if not m:
         raise NTParseError(f"bad N-Triples line: {line[:80]!r}")
     (s_iri, s_blank, p_iri, o_iri, o_blank, o_lit, o_dt, o_lang,
@@ -134,14 +156,21 @@ def parse_ntriples(
     Returns (triples, errors) where errors = [(line_no, message)].
     Strict mode stops at the first error (like the reference's strict
     reader); lax mode quarantines the line and continues (O-17).
+
+    ``text`` may be raw bytes: strict mode rejects invalid UTF-8 at the
+    offending byte, lax mode substitutes U+FFFD (read_utf8.c parity).
     """
+    utf8_err = None
+    if isinstance(text, (bytes, bytearray)):
+        text, utf8_err = decode_rdf_text(text, lax)
     if text.startswith("﻿"):
         text = text[1:]
     triples: list[Triple] = []
     errors: list[tuple[int, str]] = []
     for ln, line in enumerate(text.split("\n"), start=1):
         try:
-            t = parse_nt_line(line, blank_prefix=blank_prefix, nquads=nquads)
+            t = parse_nt_line(line, blank_prefix=blank_prefix,
+                              nquads=nquads, lax=lax)
         except (NTParseError, EscapeError) as e:
             errors.append((ln, str(e)))
             if not lax:
@@ -149,4 +178,6 @@ def parse_ntriples(
             continue
         if t is not None:
             triples.append(t)
+    if utf8_err is not None:
+        errors.append(utf8_err)
     return triples, errors

@@ -23,7 +23,8 @@ REFERENCE_TEST_DIR = os.environ.get(
 NS_W3 = "http://www.w3.org/2013/"
 NS_SERDTEST = "http://drobilla.net/sw/serd/test/"
 
-# suite name -> (subdir, base namespace, syntax, input ext, golden ext)
+# suite name -> (subdir, base namespace, syntax, input ext(s), golden ext)
+# syntax None = per-file by extension (.ttl/.trig/.nt/.nq)
 SUITES = {
     "turtle": ("w3c/turtle", NS_W3 + "TurtleTests/", "turtle", ".ttl", ".nt"),
     "trig": ("w3c/trig", NS_W3 + "TriGTests/", "trig", ".trig", ".nq"),
@@ -31,9 +32,20 @@ SUITES = {
                  ".nt", None),
     "nquads": ("w3c/nquads", NS_W3 + "NQuadsTests/", "nquads", ".nq", None),
     "good": ("extra/good", NS_SERDTEST + "good/", "turtle", ".ttl", ".nt"),
-    "lax": ("extra/lax", NS_SERDTEST + "lax/", "turtle", ".ttl", ".nt"),
     "big": ("extra/big", NS_SERDTEST + "big/", "turtle", ".ttl", ".nt"),
+    # serd extra negative suites (strict must reject every file)
+    "bad": ("extra/bad", NS_SERDTEST + "bad/", None,
+            (".ttl", ".trig", ".nt", ".nq"), None),
+    "eof": ("extra/eof", NS_SERDTEST + "eof/", None,
+            (".ttl", ".trig", ".nt", ".nq"), None),
+    # lax suite is manifest-driven: strict must reject, lax output must
+    # match the golden (run_suite.py --lax semantics) — see lax_entries()
+    "lax": ("extra/lax", NS_SERDTEST + "lax/", None,
+            (".ttl", ".trig", ".nt", ".nq"), None),
 }
+
+_EXT_SYNTAX = {".ttl": "turtle", ".trig": "trig",
+               ".nt": "ntriples", ".nq": "nquads"}
 
 
 @dataclass
@@ -46,9 +58,17 @@ class SuiteTest:
     path: str          # input file path
     golden_path: Optional[str]  # golden NT/NQ path (eval only)
 
-    def read_input(self) -> str:
+    def read_input(self) -> bytes:
+        # Raw bytes: the parsers own UTF-8 validation (strict rejects
+        # invalid sequences, lax substitutes U+FFFD — read_utf8.c).
         with open(self.path, "rb") as f:
-            return f.read().decode("utf-8", errors="replace")
+            return f.read()
+
+    def read_text(self) -> str:
+        """Decoded input for str-only consumers (Spark text columns)."""
+        from .chars import lax_utf8_decode
+
+        return lax_utf8_decode(self.read_input())
 
     def read_golden(self) -> str:
         assert self.golden_path is not None
@@ -57,7 +77,9 @@ class SuiteTest:
 
 
 def discover(suite: str) -> list[SuiteTest]:
-    subdir, ns, syntax, in_ext, gold_ext = SUITES[suite]
+    subdir, ns, syntax, in_exts, gold_ext = SUITES[suite]
+    if isinstance(in_exts, str):
+        in_exts = (in_exts,)
     root = os.path.join(REFERENCE_TEST_DIR, subdir)
     tests: list[SuiteTest] = []
     if not os.path.isdir(root):
@@ -65,10 +87,14 @@ def discover(suite: str) -> list[SuiteTest]:
     names = sorted(os.listdir(root))
     present = set(names)
     for name in names:
-        if not name.endswith(in_ext) or name.startswith("manifest"):
+        ext = next((e for e in in_exts if name.endswith(e)), None)
+        if ext is None or name.startswith("manifest"):
             continue
-        stem = name[: -len(in_ext)]
-        negative = "-bad-" in name or "/bad/" in root or suite == "bad"
+        if suite == "lax" and "-out" in name:
+            continue  # goldens, not inputs (paired via lax_entries)
+        stem = name[: -len(ext)]
+        negative = ("-bad-" in name or name.startswith("bad-")
+                    or suite in ("bad", "eof", "lax"))
         golden = None
         kind = "positive"
         if negative:
@@ -83,13 +109,53 @@ def discover(suite: str) -> list[SuiteTest]:
                 suite=suite,
                 name=name,
                 kind=kind,
-                syntax=syntax,
+                syntax=syntax or _EXT_SYNTAX[ext],
                 base_uri=ns + name,
                 path=os.path.join(root, name),
                 golden_path=golden,
             )
         )
     return tests
+
+
+def lax_entries() -> list[tuple[SuiteTest, str]]:
+    """(test, golden_path) pairs for the lax suite, read from its own
+    manifest.ttl *with our Turtle parser* (the reference loads suite
+    manifests with serdi itself: run_suite.py + serd_test_util).
+    Semantics (run_suite.py:96-110 with --lax): strict parse must
+    reject; lax parse output must match the mf:result golden."""
+    from .turtle import parse_turtle
+
+    subdir, ns, _, _, _ = SUITES["lax"]
+    root = os.path.join(REFERENCE_TEST_DIR, subdir)
+    mpath = os.path.join(root, "manifest.ttl")
+    if not os.path.isfile(mpath):
+        return []
+    with open(mpath, "rb") as f:
+        mtriples, merrors = parse_turtle(f.read(), base_uri=ns)
+    if merrors:
+        raise RuntimeError(f"lax manifest failed to parse: {merrors[:2]}")
+    NS_MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
+    actions: dict[str, str] = {}
+    results: dict[str, str] = {}
+    for t in mtriples:
+        if t.p == NS_MF + "action":
+            actions[t.s] = t.o
+        elif t.p == NS_MF + "result":
+            results[t.s] = t.o
+    out = []
+    for s, action in sorted(actions.items()):
+        name = action.rsplit("/", 1)[-1]
+        golden = results[s].rsplit("/", 1)[-1]
+        ext = "." + name.rsplit(".", 1)[-1]
+        out.append((
+            SuiteTest(suite="lax", name=name, kind="negative",
+                      syntax=_EXT_SYNTAX[ext], base_uri=ns + name,
+                      path=os.path.join(root, name),
+                      golden_path=os.path.join(root, golden)),
+            os.path.join(root, golden),
+        ))
+    return out
 
 
 def run_test(t: SuiteTest, lax: bool = False):
@@ -156,6 +222,38 @@ def score_suite(suite: str, lax: bool = False):
         else:
             results["failed"].append(
                 (t.name, f"triples mismatch: matched {m}, got {a}, want {b}"))
+    g = results["got"] or 1
+    w = results["want"] or 1
+    results["precision"] = results["matched"] / g
+    results["recall"] = results["matched"] / w
+    return results
+
+
+def score_lax_suite():
+    """Lax suite (manifest-paired): strict parse must reject each
+    input; lax parse must emit exactly the golden triples (the
+    run_suite.py --lax eval path)."""
+    from .compare import match_counts
+
+    results = {"suite": "lax", "total": 0, "passed": 0, "failed": [],
+               "matched": 0, "got": 0, "want": 0}
+    for t, golden_path in lax_entries():
+        results["total"] += 1
+        _, strict_errors = run_test(t, lax=False)
+        if not strict_errors:
+            results["failed"].append((t.name, "strict accepted bad input"))
+            continue
+        triples, _ = run_test(t, lax=True)
+        want = parse_golden(t)
+        m, a, b = match_counts(triples, want)
+        results["matched"] += m
+        results["got"] += a
+        results["want"] += b
+        if m == a == b:
+            results["passed"] += 1
+        else:
+            results["failed"].append(
+                (t.name, f"lax mismatch: matched {m}, got {a}, want {b}"))
     g = results["got"] or 1
     w = results["want"] or 1
     results["precision"] = results["matched"] / g

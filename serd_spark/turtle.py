@@ -23,6 +23,7 @@ from typing import Optional
 
 from .chars import (
     PN_LOCAL_ESC,
+    decode_rdf_text,
     is_digit,
     is_hex,
     is_pn_chars,
@@ -501,7 +502,11 @@ class TurtleParser:
                 out.append(ch)
                 continue
             if not iri_char_ok(c):
-                raise self.err(f"bad IRI character {c!r}")
+                # Lax keeps raw control chars (≤0x20) in the IRI with a
+                # warning (n3.c:646-655 non-strict branch); the explicit
+                # exclusion set ("<>^`{|}\\) always errors.
+                if not (self.lax and ord(c) <= 0x20):
+                    raise self.err(f"bad IRI character {c!r}")
             out.append(c)
             self.i += 1
 
@@ -793,13 +798,13 @@ class TurtleParser:
             if len(hx) != 4 or not all(is_hex(h) for h in hx):
                 raise self.err("bad \\u escape")
             self.i += 4
-            return decode_uchar(hx)
+            return decode_uchar(hx, lax=self.lax)
         if e == "U":
             hx = self.s[self.i : self.i + 8]
             if len(hx) != 8 or not all(is_hex(h) for h in hx):
                 raise self.err("bad \\U escape")
             self.i += 8
-            return decode_uchar(hx)
+            return decode_uchar(hx, lax=self.lax)
         if e in ECHAR_MAP:
             return ECHAR_MAP[e]
         raise self.err(f"invalid escape '\\{e}'")
@@ -861,12 +866,22 @@ def parse_turtle(
     init_prefixes: Optional[dict[str, str]] = None,
     blank_offset: int = 0,
 ) -> tuple[list[Triple], list[tuple[int, str]]]:
-    """Convenience wrapper: parse a whole Turtle/TriG document."""
-    return TurtleParser(
+    """Convenience wrapper: parse a whole Turtle/TriG document.
+
+    ``text`` may be raw bytes: strict mode rejects invalid UTF-8 at the
+    offending byte, lax mode substitutes U+FFFD (read_utf8.c parity).
+    """
+    utf8_err = None
+    if isinstance(text, (bytes, bytearray)):
+        text, utf8_err = decode_rdf_text(text, lax)
+    triples, errors = TurtleParser(
         text, base_uri=base_uri, blank_prefix=blank_prefix, trig=trig,
         lax=lax, default_graph=default_graph,
         init_prefixes=init_prefixes, blank_offset=blank_offset,
     ).parse()
+    if utf8_err is not None:
+        errors.append(utf8_err)
+    return triples, errors
 
 
 def scan_directives(

@@ -22,7 +22,7 @@ def test_matches_full_scan_on_w3c():
     for t in discover("turtle") + discover("trig") + discover("good"):
         if t.kind == "negative":
             continue
-        text = t.read_input()
+        text = t.read_text()
         assert scan_directives(text, trig=(t.syntax == "trig")) \
             == fast_scan_directives(text), t.name
         n += 1

@@ -97,7 +97,7 @@ def test_w3c_turtle_through_spark(spark):
 
     tests = [t for t in discover("turtle") if t.kind == "eval"]
     assert len(tests) > 100
-    rows = [(t.name, 0, "user", t.read_input(), None, None) for t in tests]
+    rows = [(t.name, 0, "user", t.read_text(), None, None) for t in tests]
     df = spark.createDataFrame(
         rows,
         "conv_id string, turn_idx int, role string, text string, "

@@ -18,7 +18,7 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.mark.parametrize("suite", ["ntriples", "nquads", "turtle", "trig",
-                                   "good", "big"])
+                                   "good", "big", "bad", "eof"])
 def test_suite_conformance(suite):
     r = score_suite(suite)
     assert r["total"] > 0
@@ -28,6 +28,26 @@ def test_suite_conformance(suite):
     if r["want"]:
         assert r["precision"] >= 0.95
         assert r["recall"] >= 0.95
+
+
+def test_lax_suite():
+    """Serd lax suite (run_suite.py --lax semantics): strict parse
+    must reject each input; lax parse must emit exactly the golden
+    triples (U+FFFD repair, control-char IRIs, out-of-range escapes)."""
+    from serd_spark.suites import score_lax_suite
+
+    r = score_lax_suite()
+    assert r["total"] > 0
+    assert r["passed"] == r["total"], r["failed"][:10]
+
+
+def test_eof_suite_lax_recovers():
+    """eof_lax suite analogue: truncated inputs must not crash the lax
+    reader (errors are quarantined, never raised)."""
+    from serd_spark.suites import discover, run_test
+
+    for t in discover("eof"):
+        run_test(t, lax=True)  # must not raise
 
 
 def test_roundtrip_fixpoint():
