@@ -128,3 +128,17 @@ def escape_literal_ascii(s: str) -> str:
         else:
             out.append(ch)
     return "".join(out)
+
+
+def escape_iri_ascii(s: str) -> str:
+    """IRIREF escaping in full ASCII mode (serdi's NTriples/NQuads
+    output style): uri_must_escape chars plus every non-ASCII char as
+    \\uXXXX / \\UXXXXXXXX (write_uri_character, src/writer.c:325-343)."""
+    out = []
+    for ch in s:
+        c = ord(ch)
+        if c <= 0x20 or c == 0x7F or ch in '<>"{}|^`\\' or c > 0x7E:
+            out.append("\\u%04X" % c if c <= 0xFFFF else "\\U%08X" % c)
+        else:
+            out.append(ch)
+    return "".join(out)

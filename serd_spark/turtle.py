@@ -495,9 +495,9 @@ class TurtleParser:
                     ch = decode_uchar(hx)
                 else:
                     raise self.err(f"invalid IRI escape '\\{e}'")
-                if not iri_char_ok(ch):
-                    # Escapes must not produce forbidden IRI characters
-                    # (W3C turtle-eval-bad-01..03).
+                if ch in ' <>':
+                    # Escapes must not produce space/</> (n3.c:626-633;
+                    # exactly the W3C turtle-eval-bad-01..03 set).
                     raise self.err(f"escaped char {ch!r} not allowed in IRI")
                 out.append(ch)
                 continue
