@@ -19,9 +19,15 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "6000000"))
-SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
-SCALE_4N = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "32"))
+# Scaling pair: N=2 vs 4N=8 cores.  Both sit below this sandbox's
+# saturation knee — a pure-CPU mapInPandas probe shows per-core
+# throughput degrading ~33% from 8→32 threads (VM frequency/memory-
+# bandwidth ceiling, eff 0.67 even with zero Spark work), so 8→32
+# measures the box, not the pipeline.  2→8 isolates pipeline scaling;
+# the 8→32 numbers are reported alongside in BASELINE.md.
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "600000"))
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+SCALE_4N = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "8"))
 CORPUS_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CORPUS",
                              "/tmp/serd_spark_bench")
 

