@@ -18,20 +18,37 @@ _PN_CHARS_BASE_RANGES = (
 _PN_CHARS_EXTRA_RANGES = ((0x300, 0x36F), (0x203F, 0x2040))
 
 
+_pn_base_cache: dict = {}
+
+
 def is_pn_chars_base(ch: str) -> bool:
-    c = ord(ch)
-    return any(lo <= c <= hi for lo, hi in _PN_CHARS_BASE_RANGES)
+    v = _pn_base_cache.get(ch)
+    if v is None:
+        c = ord(ch)
+        v = any(lo <= c <= hi for lo, hi in _PN_CHARS_BASE_RANGES)
+        _pn_base_cache[ch] = v
+    return v
 
 
 def is_pn_chars_u(ch: str) -> bool:
     return ch == "_" or is_pn_chars_base(ch)
 
 
+_pn_chars_cache: dict = {}
+
+
 def is_pn_chars(ch: str) -> bool:
+    v = _pn_chars_cache.get(ch)
+    if v is not None:
+        return v
     if is_pn_chars_u(ch) or ch == "-" or ch.isdigit() and ch.isascii():
-        return True
-    c = ord(ch)
-    return c == 0xB7 or any(lo <= c <= hi for lo, hi in _PN_CHARS_EXTRA_RANGES)
+        v = True
+    else:
+        c = ord(ch)
+        v = (c == 0xB7
+             or any(lo <= c <= hi for lo, hi in _PN_CHARS_EXTRA_RANGES))
+    _pn_chars_cache[ch] = v
+    return v
 
 
 def is_digit(ch: str) -> bool:
@@ -135,3 +152,21 @@ def lax_utf8_decode(data: bytes) -> str:
             out.append(chr(code) if code <= 0x10FFFF else "�")
         i = j
     return "".join(out)
+
+
+# ---- compiled regex character classes (same range tables) ----
+
+def _cls(ranges, extra=""):
+    out = []
+    for lo, hi in ranges:
+        out.append(re.escape(chr(lo)) if lo == hi
+                   else re.escape(chr(lo)) + "-" + re.escape(chr(hi)))
+    return "".join(out) + extra
+
+
+import re  # noqa: E402  (kept local to the class-table block)
+
+PN_CHARS_BASE_CLS = _cls(_PN_CHARS_BASE_RANGES)
+PN_CHARS_U_CLS = PN_CHARS_BASE_CLS + "_"
+PN_CHARS_CLS = (PN_CHARS_U_CLS + r"\-0-9" + re.escape(chr(0xB7))
+                + _cls(_PN_CHARS_EXTRA_RANGES))

@@ -19,6 +19,7 @@ the document batch, exactly like the reference's statement stream.
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from .chars import (
@@ -57,6 +58,23 @@ class ParseError(Exception):
 
 
 _EOF = ""
+
+# ---- compiled fast paths (hot-loop shortcuts; every one falls back
+# to the character scanner on a non-match, so grammar behavior is
+# bit-identical — the W3C suites gate this) ----
+
+from .chars import PN_CHARS_BASE_CLS, PN_CHARS_CLS, PN_CHARS_U_CLS
+
+_WS_RE = re.compile(r"(?:[ \t\r\n]+|#[^\n\r]*)+")
+_IRIREF_FAST_RE = re.compile(r'<([^\x00-\x20<>"{}|^`\\]*)>')
+_PN_PREFIX_RE = re.compile(
+    f"[{PN_CHARS_BASE_CLS}](?:[{PN_CHARS_CLS}.]*[{PN_CHARS_CLS}])?")
+_PN_LOCAL_FAST_RE = re.compile(
+    f"[{PN_CHARS_U_CLS}0-9:](?:[{PN_CHARS_CLS}.:]*[{PN_CHARS_CLS}:])?")
+_SHORT_STR_RE = {
+    '"': re.compile(r'"([^"\\\n\r]*)"'),
+    "'": re.compile(r"'([^'\\\n\r]*)'"),
+}
 
 
 class TurtleParser:
@@ -132,20 +150,9 @@ class TurtleParser:
         return ParseError(msg, self.i)
 
     def skip_ws(self) -> None:
-        s, n = self.s, self.n
-        i = self.i
-        while i < n:
-            c = s[i]
-            if c in " \t\r\n":
-                i += 1
-            elif c == "#":
-                # comment runs to end of line (\n or lone \r)
-                i += 1
-                while i < n and s[i] not in "\n\r":
-                    i += 1
-            else:
-                break
-        self.i = i
+        m = _WS_RE.match(self.s, self.i)
+        if m is not None:
+            self.i = m.end()
 
     def at_eof(self) -> bool:
         return self.i >= self.n
@@ -468,6 +475,10 @@ class TurtleParser:
 
     def read_iriref_raw(self) -> str:
         """Read <...> and unescape \\u/\\U; no base resolution."""
+        m = _IRIREF_FAST_RE.match(self.s, self.i)
+        if m is not None:
+            self.i = m.end()
+            return m.group(1)
         self.expect("<")
         out: list[str] = []
         s, n = self.s, self.n
@@ -515,6 +526,10 @@ class TurtleParser:
 
     def read_pn_prefix_opt(self) -> str:
         """PN_PREFIX? — empty string allowed (default namespace)."""
+        m = _PN_PREFIX_RE.match(self.s, self.i)
+        if m is not None:
+            self.i = m.end()
+            return m.group(0)
         c = self.peek()
         if c == ":" or not c:
             return ""
@@ -546,8 +561,14 @@ class TurtleParser:
         and trailing-dot backtrack.  Returns (local, ate_dot)."""
         # entries: (text, source_len, is_plain_dot) — escaped dots
         # ('\\.') are NOT statement terminators, so track plainness.
-        entries: list[tuple[str, int, bool]] = []
         s, n = self.s, self.n
+        m = _PN_LOCAL_FAST_RE.match(s, self.i)
+        if m is not None:
+            nxt = s[m.end()] if m.end() < n else _EOF
+            if nxt not in "%\\":
+                self.i = m.end()
+                return m.group(0), False
+        entries: list[tuple[str, int, bool]] = []
         first = True
         while self.i < n:
             c = s[self.i]
@@ -743,6 +764,11 @@ class TurtleParser:
 
     def read_string_body(self, q: str) -> str:
         s, n = self.s, self.n
+        if not s.startswith(q * 3, self.i):
+            m = _SHORT_STR_RE[q].match(s, self.i)
+            if m is not None:
+                self.i = m.end()
+                return m.group(1)
         if s.startswith(q * 3, self.i):
             # long string
             self.i += 3
