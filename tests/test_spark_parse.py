@@ -150,3 +150,20 @@ def test_lax_quarantine_through_pipeline(spark, tmpdir_path):
     s = pipe.run(tdf)
     assert s["n_errors"] > 0       # injected errors quarantined
     assert s["n_triples"] > 0      # job still succeeds (lax, O-17)
+
+
+def test_colocated_equals_chunked(spark):
+    """The shuffle-free co-located path (bucketed-input layout) is
+    row-identical to the distributed chunked path — same triples, same
+    deterministic blank/stmt ids."""
+    from serd_spark.operators.parse import (
+        parse_documents_chunked,
+        parse_documents_colocated,
+    )
+    from serd_spark.transcripts import transcripts_df
+
+    tdf = transcripts_df(spark, 120, mega_every=16, mega_factor=20)
+    a = parse_documents_chunked(tdf, chunk_turns=32)
+    b = parse_documents_colocated(tdf, chunk_turns=32)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
