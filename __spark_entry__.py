@@ -580,6 +580,61 @@ def _o_token_counts(_: str) -> str:
 
 # -- non-SQL-expressible ops (rows-only checks; gated by pytest suites) --
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.similarity import embedding_neardup
+
+    return embedding_neardup(_t(spark, sf_dir, "embeddings"), tau=0.45)
+
+
+def _o_embedding_neardup(_: str) -> str:
+    return """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_a,
+           CAST(b.vec_id AS BIGINT) AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+    """
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_sec=1800)
+
+
+def _o_sessionize(_: str) -> str:
+    return """
+    WITH ep AS (
+        SELECT user_id AS key, extract(epoch FROM ts) AS ep
+        FROM events),
+    marked AS (
+        SELECT key, ep,
+               CASE WHEN ep - LAG(ep) OVER (
+                        PARTITION BY key ORDER BY ep) > 1800
+                    OR LAG(ep) OVER (PARTITION BY key ORDER BY ep)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ep),
+    sess AS (
+        SELECT key, ep, CAST(SUM(is_start) OVER (
+            PARTITION BY key ORDER BY ep
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM marked)
+    SELECT key, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MIN(ep), 6) AS start_ep,
+           ROUND(MAX(ep), 6) AS end_ep,
+           ROUND(MAX(ep) - MIN(ep), 6) AS duration_sec
+    FROM sess GROUP BY key, session_id
+    """
+
+
 def _q_kg_parse_turtle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Turtle KG pipeline on the synthetic transcript corpus:
     chunked skew-split parse → per-conv triple counts."""
@@ -624,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
+        "embedding_neardup": _q_embedding_neardup,
+        "sessionize": _q_sessionize,
         "kg_parse_turtle": _q_kg_parse_turtle,
         "srp_ann": _q_srp_ann,
     }
@@ -650,5 +707,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": _o_langid(sf),
         "fingerprint": _o_fingerprint(sf),
         "token_counts": _o_token_counts(sf),
+        "embedding_neardup": _o_embedding_neardup(sf),
+        "sessionize": _o_sessionize(sf),
         # kg_parse_turtle, srp_ann: non-SQL-expressible (rows-only)
     }

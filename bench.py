@@ -38,6 +38,7 @@ HEADLINE = [
     "sorted_topk", "join_revenue", "set_ops", "exact_dedup",
     "minhash_lsh", "ngram_jaccard", "simhash", "cosine_topk",
     "quality", "langid", "fingerprint", "token_counts",
+    "embedding_neardup", "sessionize",
 ]
 
 

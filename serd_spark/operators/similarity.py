@@ -162,3 +162,31 @@ def ann_recall_vs_exact(emb: DataFrame, queries: DataFrame, k: int = 10,
     hits = exact.join(ann, ["query_id", "neighbor_id"]).count()
     total = exact.count()
     return hits / total if total else math.nan
+
+
+def embedding_neardup(
+    emb: DataFrame, tau: float = 0.45,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, sim) with
+    sim ≥ tau, a < b (the dedup-by-embedding variant).
+
+    This is the *exact* formulation (upper-triangle self-join with the
+    smaller side broadcast).  At 100 TB the candidate generation runs
+    through SRP-LSH buckets first (``srp_ann_topk``'s banding) so the
+    pair space is bucket-bounded, and this exact cosine is the verify
+    stage over candidates — same staging as MinHash→Jaccard in
+    ``operators/dedup.py``."""
+    a = emb.select(F.col(id_col).alias("vec_a"),
+                   F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"),
+                   F.col(vec_col).cast("array<double>").alias("vb"))
+    pairs = a.crossJoin(F.broadcast(b)).where(
+        F.col("vec_a") < F.col("vec_b"))
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+    return (
+        pairs.select("vec_a", "vec_b", sim.alias("sim"))
+        .where(F.col("sim") >= tau)
+    )
