@@ -177,15 +177,19 @@ def embedding_neardup(
     pair space is bucket-bounded, and this exact cosine is the verify
     stage over candidates — same staging as MinHash→Jaccard in
     ``operators/dedup.py``."""
+    # Norms precomputed once per VECTOR (n ops), not once per pair
+    # (n² ops) — the division stays at the end so the float path (and
+    # the round(…,6) result) is identical to the SQL oracle's.
     a = emb.select(F.col(id_col).alias("vec_a"),
-                   F.col(vec_col).cast("array<double>").alias("va"))
+                   F.col(vec_col).cast("array<double>").alias("va")) \
+           .withColumn("na", _norm(F.col("va")))
     b = emb.select(F.col(id_col).alias("vec_b"),
-                   F.col(vec_col).cast("array<double>").alias("vb"))
+                   F.col(vec_col).cast("array<double>").alias("vb")) \
+           .withColumn("nb", _norm(F.col("vb")))
     pairs = a.crossJoin(F.broadcast(b)).where(
         F.col("vec_a") < F.col("vec_b"))
     sim = F.round(
-        _dot(F.col("va"), F.col("vb"))
-        / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         pairs.select("vec_a", "vec_b", sim.alias("sim"))
         .where(F.col("sim") >= tau)

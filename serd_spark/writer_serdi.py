@@ -524,12 +524,19 @@ class SerdiWriter:
     """Streaming Turtle/TriG writer, byte-parity with serdi defaults
     (style ABBREVIATED|CURIED|RESOLVED; writer.c state machine)."""
 
-    def __init__(self, syntax: str = "turtle", base_uri: str = ""):
+    def __init__(self, syntax: str = "turtle", base_uri: str = "",
+                 root_uri: str = "", chop_blank_prefix: str = ""):
         self.syntax = syntax
         self.out: list[str] = []
         self.prefixes: dict[str, str] = {}
         self.base = base_uri
         self._base_parts = uri_parse(base_uri) if base_uri else None
+        # serdi -r: constrain relative serialization to a root
+        # (writer.c:1324-1342 set_root_uri + write_IRIREF rooted check)
+        self._root_parts = uri_parse(root_uri) if root_uri else None
+        # serdi -c: chop a prefix from written blank labels
+        # (writer.c:1279-1295 + write_blank 942-951)
+        self.chop = chop_blank_prefix
         self.indent = 0
         self.last_sep = S_NONE
         self.stack: list[tuple] = []
@@ -643,7 +650,9 @@ class SerdiWriter:
         absolute = (value if parts.scheme
                     else uri_resolve(value, self.base))
         abs_parts = uri_parse(absolute)
-        root = self._base_parts
+        rooted = (self._root_parts is not None
+                  and _is_under(self._base_parts, self._root_parts))
+        root = self._root_parts if rooted else self._base_parts
         if (not _is_under(abs_parts, root)
                 or self.syntax not in ("turtle", "trig")):
             self._write_uri_text(absolute)
@@ -774,7 +783,10 @@ class SerdiWriter:
                     field == "object" and (flags & EMPTY_O):
                 self._sink("[]")
             else:
-                self._sink("_:" + ev[1])
+                label = ev[1]
+                if self.chop and label.startswith(self.chop):
+                    label = label[len(self.chop):]
+                self._sink("_:" + label)
 
     def _write_pred(self, ev: tuple) -> None:
         if ev[0] == "uri" and ev[1] == RDF_TYPE:
@@ -913,10 +925,12 @@ class SerdiWriter:
 
 
 def write_events(events: list[tuple], syntax: str = "turtle",
-                 base_uri: str = "") -> str:
+                 base_uri: str = "", root_uri: str = "",
+                 chop_blank_prefix: str = "") -> str:
     """Replay a parser event stream through the writer (the serdi
     reader→writer pipeline, src/serdi.c:329-342)."""
-    w = SerdiWriter(syntax=syntax, base_uri=base_uri)
+    w = SerdiWriter(syntax=syntax, base_uri=base_uri, root_uri=root_uri,
+                    chop_blank_prefix=chop_blank_prefix)
     for ev in events:
         if ev[0] == "stmt":
             w.write_statement(ev[1], ev[2], ev[3], ev[4], ev[5])
@@ -930,7 +944,9 @@ def write_events(events: list[tuple], syntax: str = "turtle",
 
 
 def pretty_print(text, base_uri: str = "", trig: bool = False,
-                 lax: bool = False) -> str:
+                 lax: bool = False, root_uri: str = "",
+                 blank_prefix: str = "",
+                 chop_blank_prefix: str = "") -> str:
     """Parse + re-serialize like ``serdi -i turtle -o turtle`` (the
     'pretty' suite round-trip: output reproduces input byte-exactly
     for serdi-formatted files)."""
@@ -940,9 +956,45 @@ def pretty_print(text, base_uri: str = "", trig: bool = False,
         text, utf8_err = decode_rdf_text(text, lax)
         if utf8_err is not None:
             raise ValueError(f"bad UTF-8: {utf8_err}")
-    p = EventParser(text, base_uri=base_uri, trig=trig, lax=lax)
+    p = EventParser(text, base_uri=base_uri, trig=trig, lax=lax,
+                    blank_prefix=blank_prefix)
     _, errors = p.parse()
     if errors and not lax:
         raise ValueError(f"parse errors: {errors[:2]}")
     return write_events(p.events, syntax="trig" if trig else "turtle",
-                        base_uri=base_uri)
+                        base_uri=base_uri, root_uri=root_uri,
+                        chop_blank_prefix=chop_blank_prefix)
+
+
+def events_from_triples(triples) -> list[tuple]:
+    """Synthesize a flag-less event stream from flat parsed triples
+    (NTriples/NQuads input → abbreviating writer, the serdi
+    `-i ntriples -o turtle` path).  No anon/list flags exist in flat
+    input (abbreviate suite README), so blanks print as labels and
+    only subject/predicate elision applies.  Literal long-string flags
+    derive from value content (flat input can only introduce newlines/
+    quotes via escapes; serd flags \\n/\\r ECHARs, which is exactly a
+    newline char in the value — quote chars from \\" ECHARs do NOT set
+    HAS_QUOTE in serd, so only newlines are flagged here)."""
+    from .nodes import BLANK as _B, LITERAL as _L
+
+    events = []
+    for t in triples:
+        if t.g is None:
+            g_ev = None
+        elif t.g.startswith("_:"):
+            g_ev = ("blank", t.g[2:])
+        else:
+            g_ev = ("uri", t.g)
+        s_ev = ("blank", t.s) if t.s_type == _B else ("uri", t.s)
+        p_ev = ("uri", t.p)
+        if t.o_type == _B:
+            o_ev = ("blank", t.o)
+        elif t.o_type == _L:
+            nflags = HAS_NEWLINE if ("\n" in t.o or "\r" in t.o) else 0
+            dt_ev = ("uri", t.o_datatype) if t.o_datatype else None
+            o_ev = ("literal", t.o, dt_ev, t.o_lang, nflags)
+        else:
+            o_ev = ("uri", t.o)
+        events.append(("stmt", 0, g_ev, s_ev, p_ev, o_ev))
+    return events
