@@ -71,3 +71,94 @@ def windowed_turn_counts(
         .select("conv_id", F.col("w.start").alias("window_start"),
                 "n_turns")
     )
+
+
+def stateful_incremental_parse(transcripts: DataFrame) -> DataFrame:
+    """Keyed-state incremental parse (the full serd_reader_read_chunk
+    analogue, reader.c:380-408): conversations whose turns SPAN
+    micro-batches keep their lexical state between batches.
+
+    Per-conversation GroupState carries the folded Env (prefixes +
+    chained base), the next expected turn index, a bounded buffer of
+    out-of-order turns, and a chunk counter that keeps blank/stmt ids
+    deterministic (pure offsets, like the batch chunked path).  Each
+    batch parses the maximal contiguous run of turns — the per-turn
+    statement-boundary invariant (FIXTURES.md F1) makes any turn
+    boundary a safe chunk cut.
+
+    Works on a streaming DataFrame (groupBy conv_id +
+    applyInPandasWithState); emitted (s,p,o) sets are blank-bijective
+    with the batch parse (test-enforced).
+    """
+    import json as _json
+
+    import pandas as _pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.parse import _COLS, DEFAULT_BASE_TEMPLATE, PARSED_SCHEMA
+    from ..turtle import TurtleParser
+
+    STATE_SCHEMA = ("prefixes string, base string, next_turn int, "
+                    "pending string, n_chunks int")
+
+    def handle(key, pdfs, state: GroupState):
+        conv_id = key[0]
+        if state.exists:
+            prefixes_j, base, next_turn, pending_j, n_chunks = state.get
+        else:
+            prefixes_j, base, next_turn, pending_j, n_chunks = (
+                None, None, 0, None, 0)
+        pending = ({int(k): v for k, v in _json.loads(pending_j).items()}
+                   if pending_j else {})
+        for pdf in pdfs:
+            for turn_idx, text in zip(pdf["turn_idx"].values,
+                                      pdf["text"].values):
+                pending[int(turn_idx)] = text
+        run: list[str] = []
+        while next_turn in pending:
+            run.append(pending.pop(next_turn))
+            next_turn += 1
+        rows: list[tuple] = []
+        if run:
+            base_uri = base or DEFAULT_BASE_TEMPLATE.format(conv_id=conv_id)
+            parser = TurtleParser(
+                "\n".join(run),
+                base_uri=base_uri,
+                blank_prefix=f"{conv_id}-",
+                lax=True,
+                init_prefixes=(_json.loads(prefixes_j)
+                               if prefixes_j else None),
+                blank_offset=n_chunks << 32,
+            )
+            triples, errors = parser.parse()
+            stmt_offset = n_chunks << 40
+            rows = [
+                (conv_id, stmt_offset + i, t.g, t.s, t.s_type, t.p,
+                 t.o, t.o_type, t.o_datatype, t.o_lang, None)
+                for i, t in enumerate(triples)
+            ]
+            n_t = len(rows)
+            rows.extend(
+                (conv_id, stmt_offset + n_t + j, None, None, None, None,
+                 None, None, None, None, f"pos {pos}: {msg}")
+                for j, (pos, msg) in enumerate(errors)
+            )
+            prefixes_j = _json.dumps(parser.env.prefixes)
+            base = parser.env.base_uri
+            n_chunks += 1
+        state.update((prefixes_j, base, int(next_turn),
+                      _json.dumps(pending) if pending else None,
+                      int(n_chunks)))
+        if rows:
+            yield _pd.DataFrame(rows, columns=_COLS)
+
+    return (
+        transcripts.groupBy("conv_id")
+        .applyInPandasWithState(
+            handle,
+            outputStructType=PARSED_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -158,3 +158,67 @@ def test_windowed_turn_counts_batch(spark):
     assert out.count() > 0
     total = out.agg(F.sum("n_turns")).first()[0]
     assert total == tdf.count()
+
+
+def test_stateful_incremental_parse(spark, tmpdir_path):
+    """Conversations spanning micro-batches keep Env state between
+    batches (keyed GroupState), including out-of-order turn delivery;
+    final triples are blank-bijective with the batch parse."""
+    from serd_spark.compare import isomorphic
+    from serd_spark.nodes import Triple
+    from serd_spark.operators.parse import parse_documents, split_quarantine
+    from serd_spark.streaming.ingest import (
+        stateful_incremental_parse,
+        stream_transcripts,
+    )
+    from serd_spark.transcripts import TRANSCRIPT_SCHEMA, gen_local
+
+    rows = gen_local(4, mega_every=0)
+    # Split turns across two batches; conv 0's EARLY turns arrive in
+    # batch 2 (out-of-order) to exercise the pending buffer.
+    b1, b2 = [], []
+    for r in rows:
+        conv_tail = int(r[0].rsplit("-", 1)[1])
+        early = r[1] < 3
+        if conv_tail == 0:
+            (b2 if early else b1).append(r)
+        else:
+            (b1 if early else b2).append(r)
+
+    inp = os.path.join(tmpdir_path, "sin")
+    out = os.path.join(tmpdir_path, "sout")
+    ckpt = os.path.join(tmpdir_path, "sckpt")
+
+    def run_batch(batch_rows):
+        spark.createDataFrame(batch_rows, TRANSCRIPT_SCHEMA) \
+            .write.mode("append").parquet(inp)
+        q = (
+            stateful_incremental_parse(stream_transcripts(spark, inp))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_batch(b1)
+    run_batch(b2)
+
+    got = spark.read.parquet(out).where(F.col("err").isNull()).collect()
+    want_df, _ = split_quarantine(parse_documents(
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), lax=True))
+    want = want_df.collect()
+
+    def by_conv(recs):
+        d = {}
+        for r in recs:
+            d.setdefault(r.conv_id, []).append(Triple(
+                r.g, r.s, r.s_type, r.p, r.o, r.o_type,
+                r.o_datatype, r.o_lang))
+        return d
+
+    g, w = by_conv(got), by_conv(want)
+    assert set(g) == set(w)
+    for conv in w:
+        assert isomorphic(g[conv], w[conv]), conv
