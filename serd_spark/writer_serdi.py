@@ -525,7 +525,8 @@ class SerdiWriter:
     (style ABBREVIATED|CURIED|RESOLVED; writer.c state machine)."""
 
     def __init__(self, syntax: str = "turtle", base_uri: str = "",
-                 root_uri: str = "", chop_blank_prefix: str = ""):
+                 root_uri: str = "", chop_blank_prefix: str = "",
+                 qualify: bool = True):
         self.syntax = syntax
         self.out: list[str] = []
         self.prefixes: dict[str, str] = {}
@@ -537,6 +538,9 @@ class SerdiWriter:
         # serdi -c: chop a prefix from written blank labels
         # (writer.c:1279-1295 + write_blank 942-951)
         self.chop = chop_blank_prefix
+        # serdi -f drops SERD_STYLE_CURIED: IRIs are never shortened
+        # to CURIEs (choose_style, serdi.c:153-156); resolution stays
+        self.qualify_style = qualify
         self.indent = 0
         self.last_sep = S_NONE
         self.stack: list[tuple] = []
@@ -666,7 +670,7 @@ class SerdiWriter:
             self._sink("()")
             return
         parts = uri_parse(value)
-        if parts.scheme:
+        if parts.scheme and self.qualify_style:
             q = self._qualify(value)
             if q is not None:
                 self._write_lname(q[0])
@@ -926,11 +930,11 @@ class SerdiWriter:
 
 def write_events(events: list[tuple], syntax: str = "turtle",
                  base_uri: str = "", root_uri: str = "",
-                 chop_blank_prefix: str = "") -> str:
+                 chop_blank_prefix: str = "", qualify: bool = True) -> str:
     """Replay a parser event stream through the writer (the serdi
     reader→writer pipeline, src/serdi.c:329-342)."""
     w = SerdiWriter(syntax=syntax, base_uri=base_uri, root_uri=root_uri,
-                    chop_blank_prefix=chop_blank_prefix)
+                    chop_blank_prefix=chop_blank_prefix, qualify=qualify)
     for ev in events:
         if ev[0] == "stmt":
             w.write_statement(ev[1], ev[2], ev[3], ev[4], ev[5])
@@ -946,7 +950,8 @@ def write_events(events: list[tuple], syntax: str = "turtle",
 def pretty_print(text, base_uri: str = "", trig: bool = False,
                  lax: bool = False, root_uri: str = "",
                  blank_prefix: str = "",
-                 chop_blank_prefix: str = "") -> str:
+                 chop_blank_prefix: str = "",
+                 qualify: bool = True) -> str:
     """Parse + re-serialize like ``serdi -i turtle -o turtle`` (the
     'pretty' suite round-trip: output reproduces input byte-exactly
     for serdi-formatted files)."""
@@ -963,7 +968,8 @@ def pretty_print(text, base_uri: str = "", trig: bool = False,
         raise ValueError(f"parse errors: {errors[:2]}")
     return write_events(p.events, syntax="trig" if trig else "turtle",
                         base_uri=base_uri, root_uri=root_uri,
-                        chop_blank_prefix=chop_blank_prefix)
+                        chop_blank_prefix=chop_blank_prefix,
+                        qualify=qualify)
 
 
 def events_from_triples(triples) -> list[tuple]:

@@ -105,3 +105,18 @@ def test_prefix_add():
     got = write_events(events_from_triples(triples),
                        base_uri=NS + "prefix/remove-prefixes.nt")
     assert got == _read("prefix", "remove-prefixes.ttl").decode()
+
+
+def test_full_suite_fast_mode():
+    """`serdi -f` (full URIs): qualification off, resolution on —
+    full-uris.ttl reproduces itself byte-exactly while containing an
+    IRI that WOULD qualify under its own prefix."""
+    from serd_spark.writer_serdi import pretty_print
+
+    raw = _read("full", "full-uris.ttl")
+    got = pretty_print(raw, base_uri=NS + "full/full-uris.ttl",
+                       qualify=False)
+    assert got == raw.decode()
+    # sanity: default mode DOES qualify (different output)
+    assert pretty_print(raw, base_uri=NS + "full/full-uris.ttl") \
+        != raw.decode()
