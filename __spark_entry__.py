@@ -659,6 +659,14 @@ def _q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_ann_topk(emb, queries, k=10, n_planes=5, n_tables=6)
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_ann_topk(emb, queries, k=10, n_cells=16, n_probe=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "nt_roundtrip": _q_nt_roundtrip,
@@ -683,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "kg_parse_turtle": _q_kg_parse_turtle,
         "srp_ann": _q_srp_ann,
+        "ivf_ann": _q_ivf_ann,
     }
 
 
@@ -709,5 +718,6 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _o_token_counts(sf),
         "embedding_neardup": _o_embedding_neardup(sf),
         "sessionize": _o_sessionize(sf),
-        # kg_parse_turtle, srp_ann: non-SQL-expressible (rows-only)
+        # kg_parse_turtle, srp_ann, ivf_ann: non-SQL-expressible
+        # (iterative / bucketed ANN; rows-only checks)
     }

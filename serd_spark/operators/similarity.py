@@ -194,3 +194,80 @@ def embedding_neardup(
         pairs.select("vec_a", "vec_b", sim.alias("sim"))
         .where(F.col("sim") >= tau)
     )
+
+
+def ivf_assign(
+    emb: DataFrame, n_cells: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: centroids are a deterministic sample of
+    the corpus (lowest md5(vec_id) — stable under partitioning and
+    retries, no iterative k-means needed for a coarse partitioner);
+    every vector is assigned to its max-cosine centroid.
+
+    Returns (assigned, centroids): ``assigned`` = emb + ``cell``
+    column; the inverted file is the implicit (cell → vectors)
+    grouping.  At 100 TB ``assigned`` is written bucketed by ``cell``
+    so probes prune partitions."""
+    v = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    cents = (
+        v.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h").limit(n_cells)
+        .select(F.row_number().over(
+                    Window.orderBy("_h")).cast("long").alias("cell"),
+                F.col("v").alias("cv"))
+        .withColumn("cn", _norm(F.col("cv")))
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cell",
+        (_dot(F.col("v"), F.col("cv"))
+         / (_norm(F.col("v")) * F.col("cn"))).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc())
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1).drop("_r", "csim")
+    )
+    return assigned, cents
+
+
+def ivf_ann_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10, n_cells: int = 16,
+    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe``
+    nearest cells and ranks exact cosine only within them — the
+    classic inverted-file ANN next to the SRP-LSH variant
+    (``srp_ann_topk``).  Candidate work is bounded by
+    n_probe/n_cells of the corpus per query."""
+    assigned, cents = ivf_assign(emb, n_cells, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    q_cells = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cell",
+        (_dot(F.col("qv"), F.col("cv"))
+         / (_norm(F.col("qv")) * F.col("cn"))).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc())
+    probes = (
+        q_cells.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= n_probe).select("query_id", "qv", "cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("query_id"))
+    sim = F.round(
+        _dot(F.col("v"), F.col("qv"))
+        / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.select("query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    sim.alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= k)
+    )

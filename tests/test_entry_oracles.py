@@ -98,3 +98,18 @@ def test_srp_ann_recall(spark):
     q = emb.where(F.col("vec_id") < 8)
     r = ann_recall_vs_exact(emb, q, k=10, n_planes=5, n_tables=6)
     assert r >= 0.8, r
+
+
+def test_ivf_ann_recall(spark):
+    """IVF probing must recover most of the exact top-k (recall@10
+    ≥ 0.5 with 6/16 cells probed on the synthetic embeddings)."""
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10)
+    ivf = ivf_ann_topk(emb, queries, k=10, n_cells=16, n_probe=6)
+    hits = exact.join(ivf, ["query_id", "neighbor_id"]).count()
+    assert hits / exact.count() >= 0.5
