@@ -526,7 +526,7 @@ class SerdiWriter:
 
     def __init__(self, syntax: str = "turtle", base_uri: str = "",
                  root_uri: str = "", chop_blank_prefix: str = "",
-                 qualify: bool = True):
+                 qualify: bool = True, ascii_: bool = False):
         self.syntax = syntax
         self.out: list[str] = []
         self.prefixes: dict[str, str] = {}
@@ -541,6 +541,9 @@ class SerdiWriter:
         # serdi -f drops SERD_STYLE_CURIED: IRIs are never shortened
         # to CURIEs (choose_style, serdi.c:153-156); resolution stays
         self.qualify_style = qualify
+        # serdi -a: escape all non-ASCII as \u/\U
+        # (SERD_STYLE_ASCII; write_text_character writer.c:287-300)
+        self.ascii = ascii_
         self.indent = 0
         self.last_sep = S_NONE
         self.stack: list[tuple] = []
@@ -612,7 +615,8 @@ class SerdiWriter:
         buf: list[str] = []
         for ch in s:
             if ch in _IRI_MUST_ESCAPE or ch == "\x7f" or (
-                    "\ud800" <= ch <= "\udfff"):
+                    "\ud800" <= ch <= "\udfff") or (
+                    self.ascii and ord(ch) > 0x7E):
                 buf.append(_uchar_escape(ch))
             else:
                 buf.append(ch)
@@ -709,7 +713,8 @@ class SerdiWriter:
                 buf.append("\\b")
             elif ch == "\f" and self.syntax == "turtle":
                 buf.append("\\f")
-            elif ord(ch) < 0x20 or ord(ch) == 0x7F:
+            elif ord(ch) < 0x20 or ord(ch) == 0x7F or (
+                    self.ascii and ord(ch) > 0x7E):
                 buf.append(_uchar_escape(ch))
             else:
                 buf.append(ch)
@@ -734,7 +739,8 @@ class SerdiWriter:
                 buf.append("\\b")
             elif ch in "\n\r\t\f":
                 buf.append(ch)
-            elif ord(ch) < 0x20 or ord(ch) == 0x7F:
+            elif ord(ch) < 0x20 or ord(ch) == 0x7F or (
+                    self.ascii and ord(ch) > 0x7E):
                 buf.append(_uchar_escape(ch))
             else:
                 buf.append(ch)

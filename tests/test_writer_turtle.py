@@ -64,3 +64,26 @@ def test_shared_blank_uses_label():
     assert not errors
     text = roundtrip(triples)
     assert "_:" in text  # shared blank must stay labeled
+
+
+def test_serdi_ascii_turtle_mode():
+    """serdi -a: all non-ASCII escaped as \\u/\\U in Turtle output;
+    re-parse restores the original values."""
+    from serd_spark.compare import isomorphic
+    from serd_spark.turtle import parse_turtle
+    from serd_spark.writer_serdi import EventParser, SerdiWriter
+
+    doc = ('<http://ex.org/sé> <http://ex.org/p> '
+           '"café \U0001d11e" .')
+    p = EventParser(doc, base_uri="http://base/")
+    triples, errors = p.parse()
+    assert not errors
+    w = SerdiWriter(base_uri="http://base/", ascii_=True)
+    for ev in p.events:
+        w.write_statement(ev[1], ev[2], ev[3], ev[4], ev[5])
+    out = w.finish()
+    assert "\\u00E9" in out and "\\U0001D11E" in out
+    assert all(ord(c) < 0x80 for c in out)
+    got, errs = parse_turtle(out, base_uri="http://base/")
+    assert not errs
+    assert isomorphic(got, triples)
