@@ -145,11 +145,17 @@ def lax_utf8_decode(data: bytes) -> str:
         except UnicodeDecodeError:
             # structurally complete but semantically invalid
             # (overlong/surrogate/out-of-range): serd passes the raw
-            # bytes through; closest str equivalent is the code point
+            # bytes through; closest str equivalent is the code point.
+            # Surrogates become U+FFFD — a lone surrogate in a Python
+            # str crashes any later plain-UTF-8 encode (sinks, Spark
+            # string columns), defeating the repair.
             code = lead & (0x7F >> size)
             for k in range(i + 1, j):
                 code = (code << 6) | (data[k] & 0x3F)
-            out.append(chr(code) if code <= 0x10FFFF else "�")
+            if code > 0x10FFFF or 0xD800 <= code <= 0xDFFF:
+                out.append("�")
+            else:
+                out.append(chr(code))
         i = j
     return "".join(out)
 

@@ -29,10 +29,13 @@ class EscapeError(ValueError):
 def decode_uchar(hex_str: str, lax: bool = False) -> str:
     """Decode the hex payload of a \\u or \\U escape; reject surrogates
     and out-of-range code points (cf. src/n3.c:82-101).  Lax mode
-    passes surrogates through and substitutes U+FFFD for out-of-range
-    (the reference's non-strict read_UCHAR branches)."""
+    substitutes U+FFFD for both (the reference's non-strict read_UCHAR
+    branches repair rather than emit invalid scalars; a lone surrogate
+    in a Python str would crash any later plain-UTF-8 encode)."""
     code = int(hex_str, 16)
-    if 0xD800 <= code <= 0xDFFF and not lax:
+    if 0xD800 <= code <= 0xDFFF:
+        if lax:
+            return "�"
         raise EscapeError(f"escape U+{code:04X} is a surrogate")
     if code > 0x10FFFF:
         if lax:

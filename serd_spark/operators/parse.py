@@ -27,11 +27,13 @@ fails the job; strict mode is a downstream filter/assert.
 from __future__ import annotations
 
 import json
+import re
 from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..chars import PN_CHARS_CLS, PN_CHARS_U_CLS
 from ..env import Env
 from ..ntriples import NTParseError, parse_nt_line
 from ..escapes import EscapeError
@@ -51,6 +53,44 @@ _COLS = ["conv_id", "stmt_idx", "g", "s", "s_type", "p", "o", "o_type",
          "o_datatype", "o_lang", "err"]
 
 
+def locate_cursor(
+    pos: int, text: str, turn_lens: list[tuple[int, int]]
+) -> tuple[int, int, int]:
+    """Map a char offset in a '\\n'-joined document back to
+    ``(turn_idx, line, col)`` — line/col 1-based *within the turn*.
+
+    The reference tracks a full ``(file, line, col)`` error cursor
+    (src/byte_source.h:14-18); for transcripts the file coordinate is
+    the turn, so a syntax error in turn k of a multi-turn conversation
+    must report turn k, not a flat char offset into the joined text.
+
+    ``turn_lens`` is ``[(turn_idx, len(turn_text)), ...]`` in document
+    order; turns are joined by a single '\\n'.
+    """
+    pos = min(max(pos, 0), len(text))
+    start = 0
+    turn_idx = turn_lens[0][0] if turn_lens else 0
+    for t_idx, ln in turn_lens:
+        turn_idx = t_idx
+        if pos <= start + ln:
+            break
+        start = start + ln + 1  # +1 for the '\n' joiner
+    nl = text.rfind("\n", start, pos)
+    line = text.count("\n", start, pos) + 1
+    col = pos - nl if nl >= 0 else pos - start + 1
+    return turn_idx, line, col
+
+
+def _format_err(
+    pos: int, msg: str, text: str,
+    turn_lens: Optional[list[tuple[int, int]]],
+) -> str:
+    if turn_lens:
+        turn_idx, line, col = locate_cursor(pos, text, turn_lens)
+        return f"turn {turn_idx}, line {line}, col {col}: {msg}"
+    return f"pos {pos}: {msg}"
+
+
 def _rows_for_doc(
     conv_id: str,
     text: str,
@@ -61,6 +101,7 @@ def _rows_for_doc(
     init_base: Optional[str] = None,
     blank_offset: int = 0,
     stmt_offset: int = 0,
+    turn_lens: Optional[list[tuple[int, int]]] = None,
 ) -> list[tuple]:
     parser = TurtleParser(
         text,
@@ -80,7 +121,7 @@ def _rows_for_doc(
     n_triples = len(rows)
     rows.extend(
         (conv_id, stmt_offset + n_triples + j, None, None, None, None, None,
-         None, None, None, f"pos {pos}: {msg}")
+         None, None, None, _format_err(pos, msg, text, turn_lens))
         for j, (pos, msg) in enumerate(errors)
     )
     return rows
@@ -98,9 +139,13 @@ def parse_documents(
     def parse_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx")
         conv_id = pdf["conv_id"].iloc[0]
-        text = "\n".join(pdf["text"].tolist())
+        texts = pdf["text"].tolist()
+        text = "\n".join(texts)
+        turn_lens = list(zip((int(t) for t in pdf["turn_idx"]),
+                             (len(t) for t in texts)))
         base = base_template.format(conv_id=conv_id)
-        rows = _rows_for_doc(conv_id, text, base, syntax, lax)
+        rows = _rows_for_doc(conv_id, text, base, syntax, lax,
+                             turn_lens=turn_lens)
         return pd.DataFrame(rows, columns=_COLS)
 
     return (
@@ -113,7 +158,7 @@ def parse_documents(
 # ---- chunked mega-conversation path ----
 
 CHUNK_SCHEMA = ("conv_id string, chunk_idx int, text string, "
-                "patch string")
+                "patch string, turn_map string")
 
 
 def assemble_chunks(
@@ -128,12 +173,16 @@ def assemble_chunks(
         pdf = pdf.sort_values("turn_idx")
         conv_id = pdf["conv_id"].iloc[0]
         chunk_idx = int(pdf["chunk_idx"].iloc[0])
-        text = "\n".join(pdf["text"].tolist())
+        texts = pdf["text"].tolist()
+        text = "\n".join(texts)
         patch = fast_scan_directives(text)
+        # (turn_idx, len) pairs: error-cursor lineage through the chunk
+        turn_map = json.dumps([
+            [int(t), len(x)] for t, x in zip(pdf["turn_idx"], texts)])
         return pd.DataFrame(
             [(conv_id, chunk_idx, text,
-              json.dumps(patch) if patch else None)],
-            columns=["conv_id", "chunk_idx", "text", "patch"],
+              json.dumps(patch) if patch else None, turn_map)],
+            columns=["conv_id", "chunk_idx", "text", "patch", "turn_map"],
         )
 
     return (
@@ -198,6 +247,10 @@ def parse_documents_chunked(
                     if r.patches is not None and len(r.patches) else []
                 )
                 env = fold_patches(patches, chunk_idx, base)
+                turn_lens = (
+                    [(int(t), int(ln)) for t, ln in json.loads(r.turn_map)]
+                    if getattr(r, "turn_map", None) else None
+                )
                 out.extend(
                     _rows_for_doc(
                         conv_id, r.text, base, syntax, lax,
@@ -206,6 +259,7 @@ def parse_documents_chunked(
                         # genids: pure function of (conv, chunk, n)
                         blank_offset=chunk_idx << 32,
                         stmt_offset=chunk_idx << 40,
+                        turn_lens=turn_lens,
                     )
                 )
             yield pd.DataFrame(out, columns=_COLS)
@@ -216,16 +270,57 @@ def parse_documents_chunked(
 # ---- co-located (bucketed) path ----
 
 
+def assert_colocated(transcripts: DataFrame) -> None:
+    """Validate the colocated-parse precondition: every conversation
+    lives in exactly one partition.  A conversation that spans
+    partitions would lose its Env (prefix/base) carry across the
+    boundary and parse the straddling chunk twice — silently corrupt
+    output, so fail loudly instead.
+
+    Cost: one column-pruned pass over ``conv_id`` plus a shuffle of
+    distinct (partition, conv) pairs — O(#convs), not O(data).  The
+    partition layout seen here matches the parse job's because both
+    plans read the same source with the same split configuration.
+    """
+    bad = (
+        transcripts
+        .select("conv_id", F.spark_partition_id().alias("pid"))
+        .groupBy("conv_id")
+        .agg(F.countDistinct("pid").alias("n_parts"))
+        .where(F.col("n_parts") > 1)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"parse_documents_colocated: conversation {bad[0].conv_id!r} "
+            f"spans {bad[0].n_parts} partitions; the co-located layout "
+            "precondition does not hold. Use on_split='repartition' (one "
+            "shuffle) or parse_documents_chunked for this input."
+        )
+
+
 def parse_documents_colocated(
     transcripts: DataFrame,
     chunk_turns: int = 64,
     syntax: str = "turtle",
     lax: bool = True,
     base_template: str = DEFAULT_BASE_TEMPLATE,
+    on_split: str = "check",
 ) -> DataFrame:
     """Shuffle-free parse for inputs where each partition holds whole
     conversations — the production layout (Iceberg table bucketed by
     ``conv_id``), and what our corpus generator emits.
+
+    ``on_split`` guards the colocation precondition:
+
+    - ``"check"`` (default): run :func:`assert_colocated` — a cheap
+      conv_id-only validation job — and raise if any conversation
+      spans partitions.
+    - ``"repartition"``: hash-repartition by ``conv_id`` first (one
+      shuffle), making the precondition true by construction.
+    - ``"trust"``: skip the guard (caller has layout evidence, e.g. a
+      bucketed table or the bench corpus generator).
 
     One pass: ``sortWithinPartitions`` (local sort, no exchange) →
     ``mapInPandas`` that streams turns, cuts bounded chunks at turn
@@ -246,8 +341,15 @@ def parse_documents_colocated(
     """
     import pyarrow as pa
 
-    src = transcripts.select("conv_id", "turn_idx", "text") \
-        .sortWithinPartitions("conv_id", "turn_idx")
+    if on_split not in ("check", "repartition", "trust"):
+        raise ValueError(f"on_split must be check|repartition|trust, "
+                         f"got {on_split!r}")
+    src = transcripts.select("conv_id", "turn_idx", "text")
+    if on_split == "repartition":
+        src = src.repartition("conv_id")
+    elif on_split == "check":
+        assert_colocated(src)
+    src = src.sortWithinPartitions("conv_id", "turn_idx")
 
     pa_schema = pa.schema([
         ("conv_id", pa.string()), ("stmt_idx", pa.int64()),
@@ -271,14 +373,16 @@ def parse_documents_colocated(
             base = base_template.format(conv_id=conv_id)
             # chunk by absolute turn_idx (identical cut points to
             # assemble_chunks, so ids match the distributed path)
-            by_chunk: dict[int, list[str]] = {}
+            by_chunk: dict[int, list[tuple[int, str]]] = {}
             for turn_idx, text in turns:
                 by_chunk.setdefault(int(turn_idx) // chunk_turns,
-                                    []).append(text)
+                                    []).append((int(turn_idx), text))
             rows: list[tuple] = []
             env: Optional[Env] = None
             for chunk_idx in sorted(by_chunk):
-                text = "\n".join(by_chunk[chunk_idx])
+                chunk = by_chunk[chunk_idx]
+                text = "\n".join(t for _, t in chunk)
+                turn_lens = [(ti, len(t)) for ti, t in chunk]
                 parser = TurtleParser(
                     text,
                     base_uri=env.base_uri if env else base,
@@ -299,7 +403,8 @@ def parse_documents_colocated(
                 n_t = len(triples)
                 rows.extend(
                     (conv_id, stmt_offset + n_t + j, None, None, None,
-                     None, None, None, None, None, f"pos {pos}: {msg}")
+                     None, None, None, None, None,
+                     _format_err(pos, msg, text, turn_lens))
                     for j, (pos, msg) in enumerate(errors)
                 )
             return rows
@@ -329,6 +434,14 @@ def parse_documents_colocated(
 # ---- NTriples / NQuads line path ----
 
 
+# Fast-path validators (vectorized over a pandas batch).  A candidate
+# line qualifies only if it has no '\' at all, so no unescaping is
+# needed and the strict charset regexes are exact.
+_ABS_IRI_PREFIX_RE = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*:")
+_BLANK_LABEL_STRICT_RE = re.compile(
+    f"[{PN_CHARS_U_CLS}0-9](?:[{PN_CHARS_CLS}.]*[{PN_CHARS_CLS}])?\\Z")
+
+
 def parse_ntriples_lines(
     transcripts: DataFrame,
     nquads: bool = True,
@@ -337,31 +450,114 @@ def parse_ntriples_lines(
 ) -> DataFrame:
     """Shuffle-free NT/NQ parse: split turns into lines, Arrow-batch
     them through the line parser.  Statement index = (turn_idx, line
-    position), deterministic without any global counter."""
+    position), deterministic without any global counter.
+
+    Two tiers per batch (SURVEY O-7 calls NT the parallel-friendly
+    syntax, and this is why): escape-free lines — the overwhelming
+    majority of real NT — go through one vectorized
+    ``Series.str.extract`` against the whole-line grammar regex plus
+    vectorized IRI/label validation; only lines containing ``\\`` (or
+    failing validation, which need a precise error) fall back to the
+    per-line parser.
+    """
+    import numpy as np
+
+    from ..nodes import BLANK, LITERAL, URI
+
     lines = transcripts.select(
         "conv_id",
         "turn_idx",
         F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line"),
     ).where(F.trim(F.col("line")) != "")
 
+    from ..ntriples import _COMMENT_RE, _LINE_RE
+
+    def slow_rows(pdf: pd.DataFrame) -> list[tuple]:
+        out: list[tuple] = []
+        for r in pdf.itertuples(index=False):
+            stmt_idx = (int(r.turn_idx) << 20) | int(r.line_no)
+            prefix = f"{r.conv_id}-" if salt_blanks else ""
+            try:
+                t = parse_nt_line(r.line, blank_prefix=prefix,
+                                  nquads=nquads)
+            except (NTParseError, EscapeError) as e:
+                out.append((r.conv_id, stmt_idx, None, None, None, None,
+                            None, None, None, None,
+                            f"turn {int(r.turn_idx)}, "
+                            f"line {int(r.line_no) + 1}: {e}"))
+                continue
+            if t is None:
+                continue
+            out.append((r.conv_id, stmt_idx, t.g, t.s, t.s_type, t.p,
+                        t.o, t.o_type, t.o_datatype, t.o_lang, None))
+        return out
+
     def parse_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[tuple] = []
-            for r in pdf.itertuples(index=False):
-                stmt_idx = (int(r.turn_idx) << 20) | int(r.line_no)
-                prefix = f"{r.conv_id}-" if salt_blanks else ""
-                try:
-                    t = parse_nt_line(r.line, blank_prefix=prefix,
-                                      nquads=nquads)
-                except (NTParseError, EscapeError) as e:
-                    out.append((r.conv_id, stmt_idx, None, None, None, None,
-                                None, None, None, None, str(e)))
-                    continue
-                if t is None:
-                    continue
-                out.append((r.conv_id, stmt_idx, t.g, t.s, t.s_type, t.p,
-                            t.o, t.o_type, t.o_datatype, t.o_lang, None))
-            yield pd.DataFrame(out, columns=_COLS)
+            if not len(pdf):
+                yield pd.DataFrame([], columns=_COLS)
+                continue
+            ln = pdf["line"]
+            is_comment = ln.str.match(_COMMENT_RE)
+            ext = ln.str.extract(_LINE_RE)
+            # group order mirrors parse_nt_line: s_iri s_blank p o_iri
+            # o_blank o_lit o_dt o_lang g_iri g_blank
+            (s_iri, s_blank, p_iri, o_iri, o_blank, o_lit, o_dt,
+             o_lang, g_iri, g_blank) = (ext[i] for i in range(10))
+
+            def abs_ok(col):
+                return col.isna() | col.str.match(_ABS_IRI_PREFIX_RE,
+                                                  na=False)
+
+            def label_ok(col):
+                return col.isna() | col.str.match(_BLANK_LABEL_STRICT_RE,
+                                                  na=False)
+
+            fast = (
+                s_iri.notna() | s_blank.notna()  # any regex match at all
+            ) & ~ln.str.contains("\\", regex=False) \
+                & abs_ok(s_iri) & label_ok(s_blank) \
+                & p_iri.str.match(_ABS_IRI_PREFIX_RE, na=False) \
+                & abs_ok(o_iri) & label_ok(o_blank) & abs_ok(o_dt)
+            if nquads:
+                fast &= abs_ok(g_iri) & label_ok(g_blank)
+            else:
+                fast &= g_iri.isna() & g_blank.isna()
+
+            fidx = fast[fast].index
+            fpdf = pdf.loc[fidx]
+            prefix = (fpdf["conv_id"].astype(str) + "-") if salt_blanks \
+                else pd.Series("", index=fidx)
+            si, sb = s_iri.loc[fidx], s_blank.loc[fidx]
+            oi, ob, ol = (o_iri.loc[fidx], o_blank.loc[fidx],
+                          o_lit.loc[fidx])
+            gi, gb = g_iri.loc[fidx], g_blank.loc[fidx]
+            s_is_iri = si.notna()
+            fast_df = pd.DataFrame({
+                "conv_id": fpdf["conv_id"],
+                "stmt_idx": (fpdf["turn_idx"].astype("int64") * (1 << 20)
+                             + fpdf["line_no"].astype("int64")),
+                "g": np.select([gi.notna(), gb.notna()],
+                               [gi, "_:" + prefix + gb], default=None),
+                "s": si.where(s_is_iri, prefix + sb),
+                "s_type": np.where(s_is_iri, URI, BLANK).astype("int32"),
+                "p": p_iri.loc[fidx],
+                "o": np.select([oi.notna(), ob.notna()],
+                               [oi, prefix + ob], default=ol),
+                "o_type": np.select(
+                    [oi.notna(), ob.notna()], [URI, BLANK],
+                    default=LITERAL).astype("int32"),
+                "o_datatype": o_dt.loc[fidx],
+                "o_lang": o_lang.loc[fidx],
+                "err": None,
+            }, index=fidx)
+
+            rest = pdf.loc[~fast & ~is_comment]
+            if len(rest):
+                rest_df = pd.DataFrame(slow_rows(rest), columns=_COLS)
+                yield pd.concat([fast_df, rest_df], ignore_index=True)
+            else:
+                yield fast_df
 
     return lines.mapInPandas(parse_part, schema=PARSED_SCHEMA)
 

@@ -73,18 +73,33 @@ def windowed_turn_counts(
     )
 
 
-def stateful_incremental_parse(transcripts: DataFrame) -> DataFrame:
+def stateful_incremental_parse(
+    transcripts: DataFrame,
+    max_pending: int = 256,
+    state_timeout_ms: int = 0,
+) -> DataFrame:
     """Keyed-state incremental parse (the full serd_reader_read_chunk
     analogue, reader.c:380-408): conversations whose turns SPAN
     micro-batches keep their lexical state between batches.
 
     Per-conversation GroupState carries the folded Env (prefixes +
-    chained base), the next expected turn index, a bounded buffer of
+    chained base), the next expected turn index, a *bounded* buffer of
     out-of-order turns, and a chunk counter that keeps blank/stmt ids
     deterministic (pure offsets, like the batch chunked path).  Each
-    batch parses the maximal contiguous run of turns — the per-turn
+    batch parses maximal contiguous runs of turns — the per-turn
     statement-boundary invariant (FIXTURES.md F1) makes any turn
     boundary a safe chunk cut.
+
+    Bounding (lax semantics, O-17 — bad input never stalls the job):
+
+    - if more than ``max_pending`` turns are buffered waiting on a
+      missing turn index, the gap is declared lost: a quarantine row
+      records the skip and parsing resumes at the smallest buffered
+      index, so a permanently missing turn cannot grow state forever;
+    - ``state_timeout_ms`` > 0 sets a processing-time timeout: an idle
+      conversation's state is reclaimed, with any still-buffered turns
+      quarantined.  0 keeps state forever (exact, for bounded inputs
+      like availableNow back-fills).
 
     Works on a streaming DataFrame (groupBy conv_id +
     applyInPandasWithState); emitted (s,p,o) sets are blank-bijective
@@ -95,11 +110,17 @@ def stateful_incremental_parse(transcripts: DataFrame) -> DataFrame:
     import pandas as _pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..operators.parse import _COLS, DEFAULT_BASE_TEMPLATE, PARSED_SCHEMA
+    from ..operators.parse import (
+        _COLS,
+        _format_err,
+        DEFAULT_BASE_TEMPLATE,
+        PARSED_SCHEMA,
+    )
     from ..turtle import TurtleParser
 
     STATE_SCHEMA = ("prefixes string, base string, next_turn int, "
                     "pending string, n_chunks int")
+    GAP_BIT = 1 << 50  # marks synthetic gap/timeout quarantine rows
 
     def handle(key, pdfs, state: GroupState):
         conv_id = key[0]
@@ -110,19 +131,55 @@ def stateful_incremental_parse(transcripts: DataFrame) -> DataFrame:
                 None, None, 0, None, 0)
         pending = ({int(k): v for k, v in _json.loads(pending_j).items()}
                    if pending_j else {})
+
+        if state_timeout_ms and getattr(state, "hasTimedOut", False):
+            rows = [
+                (conv_id, GAP_BIT | (2 << 48), None, None, None, None,
+                 None, None, None, None,
+                 f"state timeout: {len(pending)} buffered turn(s) "
+                 f"{sorted(pending)[:8]} never parsed (expected turn "
+                 f"{next_turn})")
+            ] if pending else []
+            state.remove()
+            if rows:
+                yield _pd.DataFrame(rows, columns=_COLS)
+            return
+
         for pdf in pdfs:
             for turn_idx, text in zip(pdf["turn_idx"].values,
                                       pdf["text"].values):
                 pending[int(turn_idx)] = text
-        run: list[str] = []
-        while next_turn in pending:
-            run.append(pending.pop(next_turn))
-            next_turn += 1
+
         rows: list[tuple] = []
-        if run:
+        runs: list[tuple[int, list[str]]] = []  # (start_turn, texts)
+        while True:
+            start = next_turn
+            run: list[str] = []
+            while next_turn in pending:
+                run.append(pending.pop(next_turn))
+                next_turn += 1
+            if run:
+                runs.append((start, run))
+            if len(pending) <= max_pending:
+                break
+            # Buffer cap exceeded: the gap at next_turn is declared
+            # lost; quarantine the skip and resume at the smallest
+            # buffered turn (drop-past-N, bounded memory).
+            skip_to = min(pending)
+            rows.append(
+                (conv_id, GAP_BIT | next_turn, None, None, None, None,
+                 None, None, None, None,
+                 f"turn gap: expected turn {next_turn}, buffer cap "
+                 f"{max_pending} exceeded; skipping to turn {skip_to}"))
+            next_turn = skip_to
+
+        for start_turn, run in runs:
             base_uri = base or DEFAULT_BASE_TEMPLATE.format(conv_id=conv_id)
+            text = "\n".join(run)
+            turn_lens = [(start_turn + i, len(t))
+                         for i, t in enumerate(run)]
             parser = TurtleParser(
-                "\n".join(run),
+                text,
                 base_uri=base_uri,
                 blank_prefix=f"{conv_id}-",
                 lax=True,
@@ -132,23 +189,27 @@ def stateful_incremental_parse(transcripts: DataFrame) -> DataFrame:
             )
             triples, errors = parser.parse()
             stmt_offset = n_chunks << 40
-            rows = [
+            rows.extend(
                 (conv_id, stmt_offset + i, t.g, t.s, t.s_type, t.p,
                  t.o, t.o_type, t.o_datatype, t.o_lang, None)
                 for i, t in enumerate(triples)
-            ]
-            n_t = len(rows)
+            )
+            n_t = len(triples)
             rows.extend(
                 (conv_id, stmt_offset + n_t + j, None, None, None, None,
-                 None, None, None, None, f"pos {pos}: {msg}")
+                 None, None, None, None,
+                 _format_err(pos, msg, text, turn_lens))
                 for j, (pos, msg) in enumerate(errors)
             )
             prefixes_j = _json.dumps(parser.env.prefixes)
             base = parser.env.base_uri
             n_chunks += 1
+
         state.update((prefixes_j, base, int(next_turn),
                       _json.dumps(pending) if pending else None,
                       int(n_chunks)))
+        if state_timeout_ms:
+            state.setTimeoutDuration(state_timeout_ms)
         if rows:
             yield _pd.DataFrame(rows, columns=_COLS)
 
@@ -159,6 +220,8 @@ def stateful_incremental_parse(transcripts: DataFrame) -> DataFrame:
             outputStructType=PARSED_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                         if state_timeout_ms
+                         else GroupStateTimeout.NoTimeout),
         )
     )

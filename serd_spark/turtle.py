@@ -71,6 +71,9 @@ _PN_PREFIX_RE = re.compile(
     f"[{PN_CHARS_BASE_CLS}](?:[{PN_CHARS_CLS}.]*[{PN_CHARS_CLS}])?")
 _PN_LOCAL_FAST_RE = re.compile(
     f"[{PN_CHARS_U_CLS}0-9:](?:[{PN_CHARS_CLS}.:]*[{PN_CHARS_CLS}:])?")
+# A dot-run leading into a PLX starter ('%' or '\\') means the fast match
+# stopped short (dots are valid mid-name when followed by PLX) — slow path.
+_DOTS_THEN_PLX_RE = re.compile(r"\.+[%\\]")
 _SHORT_STR_RE = {
     '"': re.compile(r'"([^"\\\n\r]*)"'),
     "'": re.compile(r"'([^'\\\n\r]*)'"),
@@ -565,7 +568,7 @@ class TurtleParser:
         m = _PN_LOCAL_FAST_RE.match(s, self.i)
         if m is not None:
             nxt = s[m.end()] if m.end() < n else _EOF
-            if nxt not in "%\\":
+            if nxt not in "%\\" and not _DOTS_THEN_PLX_RE.match(s, m.end()):
                 self.i = m.end()
                 return m.group(0), False
         entries: list[tuple[str, int, bool]] = []

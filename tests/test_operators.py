@@ -222,3 +222,39 @@ def test_stateful_incremental_parse(spark, tmpdir_path):
     assert set(g) == set(w)
     for conv in w:
         assert isomorphic(g[conv], w[conv]), conv
+
+
+def test_stateful_parse_gap_skip_bounds_buffer(spark, tmpdir_path):
+    """ADVICE r1: a permanently missing turn must not stall the
+    conversation or grow keyed state without bound — past max_pending
+    buffered turns the gap is quarantined and parsing resumes."""
+    from serd_spark.streaming.ingest import (
+        stateful_incremental_parse,
+        stream_transcripts,
+    )
+    from serd_spark.transcripts import TRANSCRIPT_SCHEMA
+
+    rows = [("gap-0", i, "user",
+             f"<http://a/s{i}> <http://a/p> <http://a/o> .", None, None)
+            for i in range(16) if i != 3]  # turn 3 never arrives
+    inp = os.path.join(tmpdir_path, "gin")
+    out = os.path.join(tmpdir_path, "gout")
+    ckpt = os.path.join(tmpdir_path, "gckpt")
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(inp)
+
+    q = (
+        stateful_incremental_parse(stream_transcripts(spark, inp),
+                                   max_pending=4)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    res = spark.read.parquet(out)
+    gaps = [r.err for r in res.where(F.col("err").isNotNull()).collect()]
+    assert any("turn gap: expected turn 3" in m for m in gaps), gaps
+    # turns 0-2 and 4-15 all parsed (15 triples)
+    assert res.where(F.col("err").isNull()).count() == 15

@@ -208,3 +208,56 @@ class TestTriG:
     def test_default_graph_injection(self):
         ts = tt("<s> <p> <o> .", default_graph="http://dg/")
         assert ts[0].g == "http://dg/"
+
+
+class TestPnLocalPlx:
+    """Dot-run followed by a PLX escape stays inside the local name
+    (Turtle PN_LOCAL grammar: dots are valid mid-name when followed by
+    PN_CHARS | ':' | PLX).  Regression for the fast-path guard that
+    only inspected the single char after the regex match."""
+
+    def test_dot_then_percent(self):
+        ts = tt("@prefix p: <http://ex/> . p:s <q> p:a.%41 .")
+        assert len(ts) == 1
+        assert ts[0].o == "http://ex/a.%41"
+
+    def test_dot_then_backslash_escape(self):
+        ts = tt("@prefix p: <http://ex/> . p:s <q> p:a.\\~ .")
+        assert len(ts) == 1
+        assert ts[0].o == "http://ex/a.~"
+
+    def test_dotrun_then_percent(self):
+        ts = tt("@prefix p: <http://ex/> . p:s <q> p:a..%41 .")
+        assert ts[0].o == "http://ex/a..%41"
+
+    def test_trailing_dot_still_terminates(self):
+        ts = tt("@prefix p: <http://ex/> . p:s <q> p:a.")
+        assert ts[0].o == "http://ex/a"
+
+
+class TestLaxSurrogates:
+    """Lax repair must never emit lone surrogates — they crash any
+    later plain-UTF-8 encode (sinks, Spark string columns)."""
+
+    def test_uchar_surrogate_lax_is_replacement(self):
+        from serd_spark.escapes import decode_uchar
+        assert decode_uchar("D800", lax=True) == "�"
+        assert decode_uchar("DFFF", lax=True) == "�"
+
+    def test_uchar_surrogate_strict_raises(self):
+        from serd_spark.escapes import EscapeError, decode_uchar
+        with pytest.raises(EscapeError):
+            decode_uchar("D800")
+
+    def test_lax_utf8_surrogate_bytes_replaced(self):
+        from serd_spark.chars import lax_utf8_decode
+        # UTF-8-encoded surrogate U+D800 (structurally valid 3-byte seq)
+        out = lax_utf8_decode(b"a\xed\xa0\x80b")
+        assert out == "a�b"
+        out.encode("utf-8")  # must not raise
+
+    def test_lax_parse_output_always_encodable(self):
+        doc = '<s> <p> "\\uD800 tail" .'
+        triples, errors = parse_turtle(doc, base_uri=B, lax=True)
+        for t in triples:
+            t.o.encode("utf-8")  # must not raise

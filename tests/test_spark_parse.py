@@ -167,3 +167,130 @@ def test_colocated_equals_chunked(spark):
     b = parse_documents_colocated(tdf, chunk_turns=32)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_locate_cursor_units():
+    """(turn, line, col) mapping over a '\\n'-joined document
+    (reference cursor: src/byte_source.h:14-18)."""
+    from serd_spark.operators.parse import locate_cursor
+
+    texts = [(0, "ab\ncd"), (3, "x"), (7, "line1\nline2")]
+    turns = [(i, len(t)) for i, t in texts]
+    text = "ab\ncd\nx\nline1\nline2"
+    assert locate_cursor(0, text, turns) == (0, 1, 1)
+    assert locate_cursor(1, text, turns) == (0, 1, 2)
+    assert locate_cursor(3, text, turns) == (0, 2, 1)   # 'c'
+    assert locate_cursor(4, text, turns) == (0, 2, 2)   # 'd'
+    assert locate_cursor(6, text, turns) == (3, 1, 1)   # 'x' in turn 3
+    assert locate_cursor(8, text, turns) == (7, 1, 1)   # 'l' of line1
+    assert locate_cursor(14, text, turns) == (7, 2, 1)  # 'l' of line2
+    assert locate_cursor(18, text, turns) == (7, 2, 5)
+
+
+def test_error_cursor_reports_turn(spark):
+    """A syntax error in turn k of a multi-turn conversation reports
+    turn k and the in-turn line, not a flat char offset."""
+    rows = [
+        ("c1", 0, "user", "<http://a/s> <http://a/p> <http://a/o> .",
+         None, None),
+        ("c1", 2, "user", "# fine line\n<http://a/s <broken", None, None),
+        ("c1", 5, "user", "<http://a/s2> <http://a/p> <http://a/o> .",
+         None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    _, err = split_quarantine(parse_documents(df))
+    msgs = [r.err for r in err.collect()]
+    assert msgs, "expected a quarantined error"
+    assert any(m.startswith("turn 2, line 2,") for m in msgs), msgs
+
+
+def test_error_cursor_colocated_and_chunked(spark):
+    rows = [
+        ("c1", 0, "user", "<http://a/s> <http://a/p> <http://a/o> .",
+         None, None),
+        ("c1", 1, "user", "<http://a/s <broken", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    from serd_spark.operators.parse import (
+        parse_documents_chunked,
+        parse_documents_colocated,
+    )
+    for parsed in (parse_documents_chunked(df, chunk_turns=8),
+                   parse_documents_colocated(df, chunk_turns=8,
+                                             on_split="repartition")):
+        _, err = split_quarantine(parsed)
+        msgs = [r.err for r in err.collect()]
+        assert any(m.startswith("turn 1, line 1,") for m in msgs), msgs
+
+
+def test_colocated_guard_rejects_split_conversation(spark):
+    """ADVICE r1: a conversation spanning partitions must fail loudly,
+    not silently emit corrupt triples."""
+    from serd_spark.operators.parse import parse_documents_colocated
+
+    rows = [("c1", i, "user",
+             f"<http://a/s{i}> <http://a/p> <http://a/o> .", None, None)
+            for i in range(16)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp").repartition(4)  # round-robin split
+    with pytest.raises(ValueError, match="spans"):
+        parse_documents_colocated(df).count()
+    # repartition mode makes the precondition true by construction
+    out = parse_documents_colocated(df, on_split="repartition")
+    assert out.where("err is null").count() == 16
+
+
+def test_nt_fast_path_equals_slow(spark):
+    """Vectorized escape-free fast path == per-line parser on a batch
+    mixing fast lines, escaped lines, comments, and bad lines."""
+    from serd_spark.ntriples import parse_nt_line
+
+    lines = [
+        '<http://a/s> <http://a/p> "plain" .',
+        '<http://a/s> <http://a/p> "" .',                      # empty lit
+        '<http://a/s> <http://a/p> "x"@en-GB .',
+        '<http://a/s> <http://a/p> "n"^^<http://dt> .',
+        "_:b1 <http://a/p> _:b2.x .",                          # dotted label
+        "<http://a/s><http://a/p><http://a/o>.",               # no spaces
+        '<http://a/s> <http://a/p> "esc\\t\\"q\\"" .',         # ECHAR
+        '<http://a/s> <http://a/p> "\\u00e9\\U0001F600" .',    # UCHAR
+        '<http://a/\\u00e9> <http://a/p> <http://a/o> .',      # IRI UCHAR
+        "<http://a/s> <http://a/p> <http://a/o> <http://a/g> .",
+        "<http://a/s> <http://a/p> <http://a/o> _:g .",
+        "# comment",
+        "<relative> <http://a/p> <http://a/o> .",              # bad: rel IRI
+        "total junk",
+    ]
+    df = spark.createDataFrame(
+        [("cX", 3, "user", "\n".join(lines), None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    got = {r.stmt_idx: r for r in parse_ntriples_lines(df).collect()}
+
+    n_ok = n_err = 0
+    for i, line in enumerate(lines):
+        stmt_idx = (3 << 20) | i
+        try:
+            t = parse_nt_line(line, blank_prefix="cX-", nquads=True)
+        except Exception as e:
+            r = got[stmt_idx]
+            assert r.err is not None
+            assert r.err.startswith(f"turn 3, line {i + 1}:"), r.err
+            assert str(e) in r.err
+            n_err += 1
+            continue
+        if t is None:
+            assert stmt_idx not in got
+            continue
+        r = got[stmt_idx]
+        assert r.err is None, (line, r.err)
+        assert (r.g, r.s, r.s_type, r.p, r.o, r.o_type, r.o_datatype,
+                r.o_lang) == (t.g, t.s, t.s_type, t.p, t.o, t.o_type,
+                              t.o_datatype, t.o_lang), line
+        n_ok += 1
+    assert n_ok == 11 and n_err == 2
