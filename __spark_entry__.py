@@ -664,7 +664,7 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return ivf_ann_topk(emb, queries, k=10, n_cells=16, n_probe=6)
+    return ivf_ann_topk(emb, queries, k=10, n_cells=16, n_probe=12)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -102,7 +102,9 @@ def test_srp_ann_recall(spark):
 
 def test_ivf_ann_recall(spark):
     """IVF probing must recover most of the exact top-k (recall@10
-    ≥ 0.5 with 6/16 cells probed on the synthetic embeddings)."""
+    ≥ 0.8 with 12/16 cells probed; measured 0.90 — the synthetic
+    embeddings have no cluster structure, so the probe dial sits
+    high)."""
     from pyspark.sql import functions as F
 
     from serd_spark.operators.similarity import cosine_topk, ivf_ann_topk
@@ -110,6 +112,59 @@ def test_ivf_ann_recall(spark):
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 5)
     exact = cosine_topk(emb, queries, k=10)
-    ivf = ivf_ann_topk(emb, queries, k=10, n_cells=16, n_probe=6)
+    ivf = ivf_ann_topk(emb, queries, k=10, n_cells=16, n_probe=12)
     hits = exact.join(ivf, ["query_id", "neighbor_id"]).count()
-    assert hits / exact.count() >= 0.5
+    assert hits / exact.count() >= 0.8
+
+
+def test_srp_ann_realistic_dim(spark):
+    """SRP at a realistic embedding dim (768): recall@10 ≥ 0.8 with
+    4 planes x 8 tables (measured 0.988 on the planted-neighbor
+    fixture), and the optimized plan stays small — signatures are one
+    pandas UDF, not n_tables x n_planes x dim literal expressions."""
+    import numpy as np
+
+    from serd_spark.operators.similarity import (
+        ann_recall_vs_exact,
+        srp_ann_topk,
+    )
+
+    rng = np.random.default_rng(42)
+    X = rng.standard_normal((200, 768))
+    X[100:120] = X[0:20] + 0.35 * rng.standard_normal((20, 768))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>").cache()
+    q = df.where("vec_id < 8")
+    r = ann_recall_vs_exact(df, q, k=10, n_planes=4, n_tables=8)
+    assert r >= 0.8, r
+    plan = srp_ann_topk(df, q, k=10, n_planes=4, n_tables=8) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 50_000, len(plan)
+
+
+def test_embedding_neardup_blocked_exact(spark):
+    """The blocked-GEMM near-dup is exact: equals the brute-force
+    pair set on sf0.001, with no cartesian product in the plan."""
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.similarity import _dot, _norm, embedding_neardup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {(r.vec_a, r.vec_b, r.sim)
+           for r in embedding_neardup(emb, tau=0.45).collect()}
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").cast("array<double>").alias("vb"))
+    sim = F.round(_dot(F.col("va"), F.col("vb"))
+                  / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+    want = {(r.vec_a, r.vec_b, r.sim)
+            for r in a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", sim.alias("sim"))
+            .where(F.col("sim") >= 0.45).collect()}
+    assert got == want
+    plan = embedding_neardup(emb, tau=0.45) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
