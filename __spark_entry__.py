@@ -416,18 +416,28 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_simhash(_: str) -> str:
+    def bit(i: int) -> str:
+        return (f"(h_lo >> {i}) & 1" if i < 32
+                else f"(h_hi >> {i - 32}) & 1")
+
     bit_sums = ",\n".join(
-        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
-        for i in range(16))
+        f"SUM(CASE WHEN {bit(i)} = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64))
     bits = " + ".join(
-        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+        f"(CASE WHEN v{i} > 0 THEN "
+        + ("(-9223372036854775807::BIGINT - 1)" if i == 63
+           else f"{1 << i}::BIGINT")
+        + " ELSE 0 END)"
+        for i in range(64))
     return f"""
     WITH toks AS (
         SELECT doc_id,
                unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
         FROM documents),
     h AS (
-        SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi,
+               ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
         FROM toks),
     votes AS (
         SELECT doc_id, {bit_sums}

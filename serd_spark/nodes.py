@@ -72,3 +72,81 @@ TRIPLES_SCHEMA = (
 
 # Error-ledger schema for lax-mode quarantine (O-17).
 ERRORS_SCHEMA = "conv_id string, err_idx long, message string, fragment string"
+
+
+# ---- node value constructors (O-30; parity: src/node.c:271-367,
+# src/base64.c:51-125) ----
+
+import base64 as _b64
+import math as _math
+import re as _re
+import sys as _sys
+
+
+def node_new_integer(i: int) -> Node:
+    """xsd:integer literal from a value (serd_node_new_integer,
+    src/node.c:326-348): plain decimal digits, '-' for negatives,
+    never scientific."""
+    return Node(str(int(i)), LITERAL, datatype=XSD_INTEGER)
+
+
+def node_new_decimal(d: float, frac_digits: int) -> Optional[Node]:
+    """xsd:decimal literal from a double (serd_node_new_decimal,
+    src/node.c:271-324): always a '.', at least one fractional digit,
+    trailing zeros trimmed, never scientific notation.  NaN/Inf have
+    no decimal form -> None (the reference returns SERD_NODE_NULL).
+
+    One deliberate divergence: when the fraction rounds up to 1.0
+    (e.g. 0.999999999 at 8 digits) we carry into the integer part;
+    the reference's digit loop drops the carry.
+    """
+    if _math.isnan(d) or _math.isinf(d):
+        return None
+    neg = d < 0.0
+    abs_d = abs(d)
+    int_part = int(_math.floor(abs_d))
+    frac_part = abs_d - int_part
+    sign = "-" if neg else ""
+    if frac_part < _sys.float_info.epsilon:
+        return Node(f"{sign}{int_part}.0", LITERAL, datatype=XSD_DECIMAL)
+    # llround semantics: half away from zero (frac_part >= 0 here)
+    frac = int(_math.floor(frac_part * 10.0 ** frac_digits + 0.5))
+    if frac >= 10 ** frac_digits:  # carry (see docstring)
+        int_part += 1
+        frac = 0
+    if frac == 0:
+        return Node(f"{sign}{int_part}.0", LITERAL, datatype=XSD_DECIMAL)
+    fs = str(frac).rjust(frac_digits, "0").rstrip("0") or "0"
+    return Node(f"{sign}{int_part}.{fs}", LITERAL, datatype=XSD_DECIMAL)
+
+
+def base64_encode(data: bytes, wrap_lines: bool = False) -> str:
+    """RFC-3548 base64 (serd_base64_encode, src/base64.c:57-81):
+    '=' padding; with ``wrap_lines``, a newline after every 57 input
+    bytes (76 encoded chars — the RFC-2045 line limit)."""
+    if not wrap_lines or len(data) <= 57:
+        return _b64.b64encode(data).decode("ascii")
+    return "\n".join(
+        _b64.b64encode(data[i:i + 57]).decode("ascii")
+        for i in range(0, len(data), 57))
+
+
+_B64_JUNK_RE = _re.compile(r"[^A-Za-z0-9+/=]")
+
+
+def base64_decode(s: str) -> bytes:
+    """Decode base64, skipping junk characters (serd_base64_decode,
+    src/base64.c:96-125, tolerant mode: anything outside the alphabet
+    is ignored; a trailing partial chunk of one character is
+    dropped)."""
+    filtered = _B64_JUNK_RE.sub("", s).rstrip("=")
+    if len(filtered) % 4 == 1:
+        filtered = filtered[:-1]
+    return _b64.b64decode(filtered + "=" * (-len(filtered) % 4))
+
+
+def node_new_blob(data: bytes, wrap_lines: bool = False) -> Node:
+    """xsd:base64Binary literal from raw bytes (serd_node_new_blob,
+    src/node.c:350-367)."""
+    return Node(base64_encode(data, wrap_lines), LITERAL,
+                datatype=XSD_BASE64)

@@ -5,8 +5,10 @@ Scale design: every variant is bucket-first — candidate pairs only
 ever form *inside* a bounded bucket (hash group, LSH band bucket),
 never via an all-pairs cross join.  At 100 TB the band buckets are the
 unit of shuffle; hot buckets are bounded by ``max_bucket`` (oversized
-buckets are dropped with a logged count — the standard LSH guardrail)
-and AQE skew-join handles residual imbalance.
+buckets are dropped, with the drop observable: pass an ``Observation``
+to ``minhash_lsh_pairs`` for counters, or query the
+``lsh_dropped_buckets`` ledger — the standard LSH guardrail, never a
+silent cap) and AQE skew-join handles residual imbalance.
 
 Definitions are engine-portable (md5-based hashing, explicit shingle
 construction) so each has an exact DuckDB oracle.
@@ -101,15 +103,36 @@ def minhash_bands(
 def minhash_lsh_pairs(
     docs: DataFrame, text_col: str = "text", n_bands: int = 8,
     shingle_k: int = 3, max_bucket: int = 64,
+    observation=None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing ≥1 band
-    bucket.  Bucket-bounded self-join (the LSH scale path)."""
+    bucket.  Bucket-bounded self-join (the LSH scale path).
+
+    The ``max_bucket`` guardrail is observable, not silent: pass a
+    ``pyspark.sql.Observation`` as ``observation`` and, after any
+    action on the result, ``observation.get`` reports
+    ``n_rows_dropped`` (doc×band rows in oversized buckets) and
+    ``n_buckets_dropped``.  For the full ledger of what was capped,
+    use :func:`lsh_dropped_buckets`.
+    """
     mh = minhash_bands(docs, text_col, n_bands, shingle_k)
     # Guardrail: drop degenerate hot buckets (> max_bucket docs).
     sized = mh.withColumn(
         "bucket_n",
         F.count("*").over(Window.partitionBy("band", "minhash")),
-    ).where(F.col("bucket_n") <= max_bucket)
+    )
+    if observation is not None:
+        over = F.col("bucket_n") > max_bucket
+        # (distinct aggregates are disallowed in observed metrics, so
+        # count buckets as sum of 1/bucket_n over dropped rows)
+        sized = sized.observe(
+            observation,
+            F.sum(F.when(over, 1).otherwise(0)).alias("n_rows_dropped"),
+            F.round(F.sum(F.when(over, 1.0 / F.col("bucket_n"))
+                          .otherwise(0.0))).cast("long")
+            .alias("n_buckets_dropped"),
+        )
+    sized = sized.where(F.col("bucket_n") <= max_bucket)
     a = sized.select("band", "minhash", F.col("doc_id").alias("doc_a"))
     b = sized.select("band", "minhash", F.col("doc_id").alias("doc_b"))
     return (
@@ -120,21 +143,43 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_dropped_buckets(
+    docs: DataFrame, text_col: str = "text", n_bands: int = 8,
+    shingle_k: int = 3, max_bucket: int = 64,
+) -> DataFrame:
+    """Side-output ledger for the ``max_bucket`` guardrail: one row
+    per dropped (band, minhash) bucket with its size — the buckets
+    :func:`minhash_lsh_pairs` excluded from pair generation."""
+    mh = minhash_bands(docs, text_col, n_bands, shingle_k)
+    return (
+        mh.groupBy("band", "minhash")
+        .agg(F.count("*").cast("long").alias("bucket_n"))
+        .where(F.col("bucket_n") > max_bucket)
+    )
+
+
 def ngram_jaccard(
     docs: DataFrame, pairs: DataFrame, text_col: str = "text",
-    shingle_k: int = 3,
+    shingle_k: int = 3, broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (verify
     stage after LSH): |A∩B| / |A∪B| over distinct shingles.
 
     Set-as-array formulation: one row per doc carrying its distinct
     shingle array, pairs joined twice by doc id, intersection via
-    JVM-side ``array_intersect`` — no exploded shingle shuffle, and
-    the pair table (small after LSH) broadcasts."""
+    JVM-side ``array_intersect`` — no exploded shingle shuffle.
+
+    ``broadcast_pairs=True`` (default) hints the pair table broadcast
+    — right after LSH the candidate set is tiny.  Set it False when
+    the pair table may exceed the broadcast threshold (rule of thumb:
+    > ~10M pairs / the session's autoBroadcastJoinThreshold): both
+    joins then shuffle on doc id, and AQE will still broadcast at
+    runtime if the actual size turns out small."""
     sets = shingle_arrays(docs, text_col, shingle_k).select(
         "doc_id", F.array_distinct("sh").alias("sh"))
+    p = F.broadcast(pairs) if broadcast_pairs else pairs
     joined = (
-        sets.join(F.broadcast(pairs), sets.doc_id == pairs.doc_a)
+        sets.join(p, sets.doc_id == p.doc_a)
         .select("doc_a", "doc_b", F.col("sh").alias("sh_a"))
         .join(sets.select(F.col("doc_id").alias("doc_b"),
                           F.col("sh").alias("sh_b")), "doc_b")
@@ -149,28 +194,43 @@ def ngram_jaccard(
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            n_bits: int = 16) -> DataFrame:
+            n_bits: int = 64) -> DataFrame:
     """Per-document SimHash over whitespace tokens: bit i of the
-    signature is the majority vote of token-hash bit i.  Token hash =
-    first 4 hex chars of md5 (16 bits) — portable to the SQL oracle."""
+    signature is the majority vote of token-hash bit i.  64 bits by
+    default — 16 was collision-prone at corpus scale.  Token hash =
+    first 16 hex chars of md5, read as two 32-bit halves so both
+    engines stay inside signed-64 arithmetic; bit 63 (the sign bit)
+    is set by adding -2^63, portable to the SQL oracle."""
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
     toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
         .alias("tok"),
     )
     h = toks.withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
+        "h_hi", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("long")
+    ).withColumn(
+        "h_lo", F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10)
+        .cast("long")
+    )
+
+    def bit(i: int):
+        if i < 32:
+            return F.shiftright(F.col("h_lo"), i).bitwiseAND(1)
+        return F.shiftright(F.col("h_hi"), i - 32).bitwiseAND(1)
+
     votes = h.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1,
-                       1).otherwise(-1)
-            ).alias(f"v{i}")
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"v{i}")
             for i in range(n_bits)
         ]
     )
     sig = sum(
-        (F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        (F.when(F.col(f"v{i}") > 0,
+                F.lit(-(1 << 63) if i == 63 else (1 << i)))
+         .otherwise(F.lit(0))
          for i in range(n_bits)),
         F.lit(0),
     )

@@ -64,18 +64,33 @@ def checkpoint_exists(path: str) -> bool:
 def write_checkpoint(
     df: DataFrame, path: str, stage: str, fmt: str = "parquet",
     partition_by: list[str] | None = None, metrics: dict | None = None,
+    validate_readback: bool = False,
 ) -> dict:
     """Write a stage checkpoint + _DONE marker with row/partition
     metrics.  A later run resumes by reading the checkpoint instead of
-    recomputing the stage (read_checkpoint)."""
-    w = df.write.mode("overwrite").format(fmt)
+    recomputing the stage (read_checkpoint).
+
+    The row count rides the write itself via ``Observation`` — no
+    re-read of the stage just to count (at scale that was one extra
+    full scan per stage).  ``validate_readback=True`` restores the
+    old paranoid mode: re-read the files and compare counts."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"ckpt_{stage}")
+    w = df.observe(obs, F.count(F.lit(1)).alias("rows")) \
+        .write.mode("overwrite").format(fmt)
     if partition_by:
         w = w.partitionBy(*partition_by)
     t0 = time.time()
     w.save(path)
-    spark = df.sparkSession
-    back = spark.read.format(fmt).load(path)
-    n = back.count()
+    n = obs.get["rows"]
+    if validate_readback:
+        spark = df.sparkSession
+        n_back = spark.read.format(fmt).load(path).count()
+        if n_back != n:
+            raise IOError(
+                f"checkpoint {stage}: wrote {n} rows but read back "
+                f"{n_back}")
     info = {
         "stage": stage,
         "rows": n,

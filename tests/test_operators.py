@@ -258,3 +258,65 @@ def test_stateful_parse_gap_skip_bounds_buffer(spark, tmpdir_path):
     assert any("turn gap: expected turn 3" in m for m in gaps), gaps
     # turns 0-2 and 4-15 all parsed (15 triples)
     assert res.where(F.col("err").isNull()).count() == 15
+
+
+def test_lsh_drop_metrics(spark):
+    """The max_bucket guardrail is observable: Observation counters +
+    the dropped-bucket ledger (no silent cap)."""
+    from pyspark.sql import Observation
+
+    from serd_spark.operators.dedup import (
+        lsh_dropped_buckets,
+        minhash_lsh_pairs,
+    )
+
+    # 12 identical docs (one hot bucket per band) + 3 distinct docs
+    rows = [(i, "the same exact text repeated again and again")
+            for i in range(12)]
+    rows += [(100 + i, f"unique document number {i} with its own words "
+              f"entirely {i}") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    obs = Observation("lsh")
+    pairs = minhash_lsh_pairs(docs, n_bands=4, max_bucket=8,
+                              observation=obs)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # the 12 identical docs were all in oversized buckets -> no pairs
+    assert not any(a < 12 and b < 12 for a, b in got)
+    assert obs.get["n_rows_dropped"] == 12 * 4
+    assert obs.get["n_buckets_dropped"] == 4
+
+    ledger = lsh_dropped_buckets(docs, n_bands=4, max_bucket=8).collect()
+    assert len(ledger) == 4
+    assert all(r.bucket_n == 12 for r in ledger)
+
+
+def test_ngram_jaccard_shuffle_fallback(spark):
+    """broadcast_pairs=False gives identical results with shuffle
+    joins (the path for pair tables past the broadcast threshold)."""
+    from serd_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, n_bands=4).cache()
+    a = {tuple(r) for r in ngram_jaccard(docs, pairs).collect()}
+    b = {tuple(r) for r in
+         ngram_jaccard(docs, pairs, broadcast_pairs=False).collect()}
+    assert a == b and a
+
+
+def test_write_checkpoint_no_rescan(spark, tmpdir_path):
+    """Row count comes from the write-side Observation, not a re-read;
+    readback validation is opt-in."""
+    from serd_spark.operators.materialize import (
+        checkpoint_info,
+        write_checkpoint,
+    )
+
+    df = spark.range(1234).withColumnRenamed("id", "x")
+    p = os.path.join(tmpdir_path, "ckpt1")
+    info = write_checkpoint(df, p, "stage1")
+    assert info["rows"] == 1234
+    assert checkpoint_info(p)["rows"] == 1234
+    p2 = os.path.join(tmpdir_path, "ckpt2")
+    info2 = write_checkpoint(df, p2, "stage2", validate_readback=True)
+    assert info2["rows"] == 1234
