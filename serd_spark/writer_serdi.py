@@ -936,11 +936,13 @@ class SerdiWriter:
 
 def write_events(events: list[tuple], syntax: str = "turtle",
                  base_uri: str = "", root_uri: str = "",
-                 chop_blank_prefix: str = "", qualify: bool = True) -> str:
+                 chop_blank_prefix: str = "", qualify: bool = True,
+                 ascii_: bool = False) -> str:
     """Replay a parser event stream through the writer (the serdi
     reader→writer pipeline, src/serdi.c:329-342)."""
     w = SerdiWriter(syntax=syntax, base_uri=base_uri, root_uri=root_uri,
-                    chop_blank_prefix=chop_blank_prefix, qualify=qualify)
+                    chop_blank_prefix=chop_blank_prefix, qualify=qualify,
+                    ascii_=ascii_)
     for ev in events:
         if ev[0] == "stmt":
             w.write_statement(ev[1], ev[2], ev[3], ev[4], ev[5])
