@@ -74,6 +74,7 @@ _PN_LOCAL_FAST_RE = re.compile(
 # A dot-run leading into a PLX starter ('%' or '\\') means the fast match
 # stopped short (dots are valid mid-name when followed by PLX) — slow path.
 _DOTS_THEN_PLX_RE = re.compile(r"\.+[%\\]")
+_LANGTAG_RE = re.compile(r"[A-Za-z]+(?:-[A-Za-z0-9]+)*")
 _SHORT_STR_RE = {
     '"': re.compile(r'"([^"\\\n\r]*)"'),
     "'": re.compile(r"'([^'\\\n\r]*)'"),
@@ -153,7 +154,20 @@ class TurtleParser:
         return ParseError(msg, self.i)
 
     def skip_ws(self) -> None:
-        m = _WS_RE.match(self.s, self.i)
+        # Fast paths for the two overwhelmingly common cases (no ws at
+        # all / one single space) before paying for the regex engine.
+        s, i, n = self.s, self.i, self.n
+        if i >= n:
+            return
+        c = s[i]
+        if c not in " \t\r\n#":
+            return
+        if c == " ":
+            j = i + 1
+            if j >= n or s[j] not in " \t\r\n#":
+                self.i = j
+                return
+        m = _WS_RE.match(s, i)
         if m is not None:
             self.i = m.end()
 
@@ -170,6 +184,8 @@ class TurtleParser:
     # ---- emission ----
 
     def emit(self, s: Node, p: Node, o: Node) -> None:
+        if self.scan_only:
+            return
         if self.graph is not None:
             # Blank graph labels carry a '_:' marker so they stay
             # distinguishable from IRIs (and join the bijection).
@@ -177,8 +193,6 @@ class TurtleParser:
                  else self.graph.value)
         else:
             g = self.default_graph
-        if self.scan_only:
-            return
         self.triples.append(
             Triple(g, s.value, s.type, p.value, o.value, o.type,
                    o.datatype, o.lang)
@@ -424,12 +438,13 @@ class TurtleParser:
             return
 
     def read_object_list(self, subj: Node, verb: Node) -> None:
+        s = self.s
         while True:
             self.skip_ws()
             obj = self.read_object()
             self.emit(subj, verb, obj)
             self.skip_ws()
-            if self.peek() == ",":
+            if self.i < self.n and s[self.i] == ",":
                 self.i += 1
                 continue
             return
@@ -451,7 +466,7 @@ class TurtleParser:
         return node
 
     def read_object(self) -> Node:
-        c = self.peek()
+        c = self.s[self.i] if self.i < self.n else _EOF
         if c == _EOF:
             raise self.err("unexpected end of input")
         if c == "<":
@@ -748,22 +763,14 @@ class TurtleParser:
         return Node(value, LITERAL, datatype=datatype, lang=lang)
 
     def read_langtag(self) -> str:
-        out = []
-        c = self.peek()
-        if not c or not (c.isalpha() and c.isascii()):
+        m = _LANGTAG_RE.match(self.s, self.i)
+        if m is None:
             raise self.err("bad language tag")
-        while c and c.isalpha() and c.isascii():
-            out.append(self.take())
-            c = self.peek()
-        while self.peek() == "-":
-            out.append(self.take())
-            c = self.peek()
-            if not c or not (c.isalnum() and c.isascii()):
-                raise self.err("bad language tag subtag")
-            while c and c.isalnum() and c.isascii():
-                out.append(self.take())
-                c = self.peek()
-        return "".join(out)
+        self.i = m.end()
+        if self.i < self.n and self.s[self.i] == "-":
+            # '-' not followed by an alnum subtag
+            raise self.err("bad language tag subtag")
+        return m.group(0)
 
     def read_string_body(self, q: str) -> str:
         s, n = self.s, self.n
@@ -773,33 +780,35 @@ class TurtleParser:
                 self.i = m.end()
                 return m.group(1)
         if s.startswith(q * 3, self.i):
-            # long string
+            # long string: bulk-copy spans between quotes/escapes
             self.i += 3
             out: list[str] = []
             while True:
-                if self.i >= n:
+                i = self.i
+                jq = s.find(q, i)
+                jb = s.find("\\", i)
+                if jq == -1:
                     raise self.err("unterminated long string")
-                c = s[self.i]
-                if c == q:
-                    # count quote run; the FIRST 3 consecutive quotes
-                    # close the string (grammar: inner quote runs are
-                    # at most 2) — extra quotes stay in the stream and
-                    # become a syntax error downstream.
-                    j = self.i
-                    while j < n and s[j] == q:
-                        j += 1
-                    run = j - self.i
-                    if run >= 3:
-                        self.i += 3
-                        return "".join(out)
-                    out.append(q * run)
+                j = jq if (jb == -1 or jq < jb) else jb
+                if j > i:
+                    out.append(s[i:j])
                     self.i = j
-                    continue
-                if c == "\\":
+                if s[j] == "\\":
                     out.append(self.read_escape_seq())
                     continue
-                out.append(c)
-                self.i += 1
+                # count quote run; the FIRST 3 consecutive quotes
+                # close the string (grammar: inner quote runs are
+                # at most 2) — extra quotes stay in the stream and
+                # become a syntax error downstream.
+                k = j
+                while k < n and s[k] == q:
+                    k += 1
+                run = k - j
+                if run >= 3:
+                    self.i = j + 3
+                    return "".join(out)
+                out.append(q * run)
+                self.i = k
         # short string
         self.expect(q)
         out = []
