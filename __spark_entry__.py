@@ -357,6 +357,57 @@ def _o_minhash_lsh(_: str) -> str:
     """
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_bands=4, shingle_k=3,
+        max_bucket=64)
+    return dup_clusters(pairs)
+
+
+def _o_dedup_clusters(_: str) -> str:
+    # connected components of the LSH pair graph via recursive CTE:
+    # cluster_id = min doc_id reachable from each node
+    return """
+    WITH RECURSIVE words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+    shingles AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3 THEN
+                list_transform(range(1, len(w)-1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+            ELSE [] END) AS shingle
+        FROM words),
+    mh AS (
+        SELECT doc_id, band,
+               MIN(md5(shingle || '#' || band)) AS minhash
+        FROM shingles, (SELECT unnest(range(0,4)) AS band)
+        GROUP BY doc_id, band),
+    sized AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, minhash) AS bucket_n
+        FROM mh),
+    pairs AS (
+        SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+                        CAST(b.doc_id AS BIGINT) AS doc_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.minhash = b.minhash
+         AND a.doc_id < b.doc_id
+        WHERE a.bucket_n <= 64 AND b.bucket_n <= 64),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+    SELECT u AS doc_id, MIN(v) AS cluster_id
+    FROM reach GROUP BY u
+    """
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard
 
@@ -690,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _q_set_ops,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
@@ -719,6 +771,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _o_set_ops(sf),
         "exact_dedup": _o_exact_dedup(sf),
         "minhash_lsh": _o_minhash_lsh(sf),
+        "dedup_clusters": _o_dedup_clusters(sf),
         "ngram_jaccard": _o_ngram_jaccard(sf),
         "simhash": _o_simhash(sf),
         "cosine_topk": _o_cosine_topk(sf),

@@ -36,7 +36,8 @@ HEADLINE = [
     "nt_roundtrip", "agg_pricing", "broadcast_expand",
     "anti_join_undefined", "window_stmt_idx", "explode_fanout",
     "sorted_topk", "join_revenue", "set_ops", "exact_dedup",
-    "minhash_lsh", "ngram_jaccard", "simhash", "cosine_topk",
+    "minhash_lsh", "dedup_clusters", "ngram_jaccard", "simhash",
+    "cosine_topk",
     "quality", "langid", "fingerprint", "token_counts",
     "embedding_neardup", "sessionize",
 ]

@@ -193,6 +193,62 @@ def ngram_jaccard(
     ).where(F.col("n_inter") > 0)  # match the intersect-join form
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-duplicate *clusters* from candidate pairs: connected
+    components of the undirected pair graph, labeled by the minimum
+    doc_id in each component — the "keep one representative per
+    duplicate group" step after LSH pair generation.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds with a driver-side changed-count
+    early exit.  Near-dup components are near-cliques, so real corpora
+    converge in 2-4 rounds.  Each round is one shuffle join + one
+    map-side-combined min aggregation; labels persist round-to-round
+    and the previous round unpersists.  (For adversarial long-chain
+    graphs at extreme scale, the alternating large-star/small-star
+    algorithm halves chains per round; duplicate clusters don't need
+    it.)
+
+    Output: (doc_id, cluster_id) for every doc appearing in ≥1 pair.
+    """
+    edges = pairs.select(F.col("doc_a").alias("u"),
+                         F.col("doc_b").alias("v"))
+    # localCheckpoint: iterative algorithms must TRUNCATE lineage each
+    # round, not just cache — otherwise every round's plan contains
+    # all previous rounds' plans and Catalyst analysis time explodes
+    # exponentially.  (reliable-checkpoint to a cluster FS is the HA
+    # variant; local is right for a bounded label-propagation loop.)
+    edges = edges.union(
+        pairs.select(F.col("doc_b").alias("u"),
+                     F.col("doc_a").alias("v"))).localCheckpoint()
+    labels = edges.select("u").distinct() \
+        .withColumn("lbl", F.col("u")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("u").alias("v"),
+                              F.col("lbl").alias("vlbl")), "v")
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select("u", F.least(
+                F.col("lbl"),
+                F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = new_labels.alias("n").join(
+            labels.alias("o"), "u").where(
+            F.col("n.lbl") != F.col("o.lbl")).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             n_bits: int = 64) -> DataFrame:
     """Per-document SimHash over whitespace tokens: bit i of the

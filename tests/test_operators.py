@@ -320,3 +320,19 @@ def test_write_checkpoint_no_rescan(spark, tmpdir_path):
     p2 = os.path.join(tmpdir_path, "ckpt2")
     info2 = write_checkpoint(df, p2, "stage2", validate_readback=True)
     assert info2["rows"] == 1234
+
+
+def test_dup_clusters_chain_and_singletons(spark):
+    """Min-label propagation handles chains (worst-case diameter) and
+    leaves separate components apart."""
+    from serd_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain -> cluster 1
+         (10, 11),                            # pair  -> cluster 10
+         (20, 21), (21, 22), (20, 22)],       # triangle -> cluster 20
+        "doc_a long, doc_b long")
+    got = {(r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}
