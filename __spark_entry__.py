@@ -357,6 +357,64 @@ def _o_minhash_lsh(_: str) -> str:
     """
 
 
+def _q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase picks up the latest
+    preceding click by the same user (backward ASOF)."""
+    from pyspark.sql import Window
+
+    from serd_spark.operators.sessions import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "ts", "user_id")
+    # deterministic tie-break: one click per (user, ts), max event_id
+    wc = Window.partitionBy("user_id", "ts") \
+        .orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("_rn", F.row_number().over(wc))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    j = asof_join(purchases, clicks, by="user_id", ts_col="ts",
+                  right_cols=("event_id", "value"))
+    # NTZ → TIMESTAMP → double (UTC session): naive-epoch seconds.
+    # No-match rows keep -1 sentinels (hashable across engines).
+    ep = lambda c: F.round(F.col(c).cast("timestamp").cast("double"), 6)
+    return j.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        ep("ts").alias("p_ep"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.coalesce(F.col("event_id_r").cast("long"), F.lit(-1))
+        .alias("click_id"),
+        F.coalesce(ep("ts_r"), F.lit(-1.0)).alias("click_ep"),
+        F.coalesce(F.round("value_r", 6), F.lit(-1.0))
+        .alias("click_value"),
+    )
+
+
+def _o_asof_attrib(_: str) -> str:
+    return """
+    WITH p AS (
+        SELECT event_id, ts, user_id FROM events
+        WHERE event_type = 'purchase'),
+    c0 AS (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'),
+    c AS (SELECT user_id, ts, event_id, value FROM c0 WHERE rn = 1)
+    SELECT CAST(p.event_id AS BIGINT) AS event_id,
+           ROUND(epoch(p.ts), 6) AS p_ep,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           COALESCE(CAST(c.event_id AS BIGINT), -1) AS click_id,
+           COALESCE(ROUND(epoch(c.ts), 6), -1.0) AS click_ep,
+           COALESCE(ROUND(c.value, 6), -1.0) AS click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
 
@@ -751,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "embedding_neardup": _q_embedding_neardup,
         "sessionize": _q_sessionize,
+        "asof_attrib": _q_asof_attrib,
         "kg_parse_turtle": _q_kg_parse_turtle,
         "srp_ann": _q_srp_ann,
         "ivf_ann": _q_ivf_ann,
@@ -781,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _o_token_counts(sf),
         "embedding_neardup": _o_embedding_neardup(sf),
         "sessionize": _o_sessionize(sf),
+        "asof_attrib": _o_asof_attrib(sf),
         # kg_parse_turtle, srp_ann, ivf_ann: non-SQL-expressible
         # (iterative / bucketed ANN; rows-only checks)
     }

@@ -39,7 +39,7 @@ HEADLINE = [
     "minhash_lsh", "dedup_clusters", "ngram_jaccard", "simhash",
     "cosine_topk",
     "quality", "langid", "fingerprint", "token_counts",
-    "embedding_neardup", "sessionize",
+    "embedding_neardup", "sessionize", "asof_attrib",
 ]
 
 

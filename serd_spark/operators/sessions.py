@@ -44,3 +44,72 @@ def sessionize(
             F.round(F.max("ep") - F.min("ep"), 6).alias("duration_sec"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame, right: DataFrame, by: str = "user_id",
+    ts_col: str = "ts", right_cols: tuple = ("event_id", "value"),
+    tolerance_sec: float | None = None, suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: every left row picks up the LATEST right
+    row with ``right.ts <= left.ts`` in the same ``by`` group (the
+    time-series attribution join Spark has no built-in for; DuckDB/
+    pandas call it ASOF JOIN / merge_asof).
+
+    Union-tagged single-shuffle formulation — the 100 TB shape:
+    tag both inputs, union, one window partitioned by the key and
+    ordered by (ts, side) with ``last(..., ignorenulls=True)`` running
+    over unbounded-preceding, then keep only left rows.  No range
+    cross-product, no per-key loop; right rows sort before left rows
+    at equal timestamps so ties match inclusively (``>=``), matching
+    DuckDB's ASOF semantics.
+
+    ``tolerance_sec`` nulls out matches older than the window (pandas
+    ``merge_asof(tolerance=...)``).  Output: all left columns plus
+    ``<right_col><suffix>`` for each requested right column and
+    ``<ts_col><suffix>`` (the matched right timestamp).
+    """
+    lcols = left.columns
+    out_rcols = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
+
+    l_tag = left.select(
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in right_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType)
+        .alias(f"{ts_col}{suffix}"),
+        F.lit(1).alias("_side"),
+    )
+    r_tag = right.select(
+        F.col(by),
+        F.col(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in (by, ts_col)],
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.lit(0).alias("_side"),
+    ).select(*lcols, *[f"{c}{suffix}" for c in right_cols],
+             f"{ts_col}{suffix}", "_side")
+
+    unioned = l_tag.unionByName(r_tag)
+    w = Window.partitionBy(by) \
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = unioned.select(
+        *lcols, "_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c)
+          for c in out_rcols],
+    )
+    res = filled.where(F.col("_side") == 1).drop("_side")
+    if tolerance_sec is not None:
+        # NTZ timestamps need the two-step cast to epoch seconds
+        age = (F.col(ts_col).cast("timestamp").cast("double")
+               - F.col(f"{ts_col}{suffix}").cast("timestamp")
+               .cast("double"))
+        keep = F.col(f"{ts_col}{suffix}").isNotNull() & \
+            (age <= F.lit(float(tolerance_sec)))
+        res = res.select(
+            *lcols,
+            *[F.when(keep, F.col(c)).alias(c) for c in out_rcols],
+        )
+    return res

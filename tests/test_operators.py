@@ -336,3 +336,38 @@ def test_dup_clusters_chain_and_singletons(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
                    (10, 10), (11, 10),
                    (20, 20), (21, 20), (22, 20)}
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right ts <= left ts per key; inclusive
+    ties; no-match -> nulls; tolerance nulls out stale matches."""
+    from serd_spark.operators.sessions import asof_join
+
+    from datetime import datetime as DT
+
+    left = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 10, 0), 100),
+         (2, DT(2024, 1, 1, 10, 5), 100),
+         (3, DT(2024, 1, 1, 9, 0), 200)],   # before any right row
+        "event_id long, ts timestamp, user_id long")
+    right = spark.createDataFrame(
+        [(50, DT(2024, 1, 1, 9, 59), 100, 1.0),
+         (51, DT(2024, 1, 1, 10, 0), 100, 2.0),   # tie with left id 1
+         (52, DT(2024, 1, 1, 10, 1), 100, 3.0),
+         (60, DT(2024, 1, 1, 12, 0), 200, 9.0)],  # after left id 3
+        "event_id long, ts timestamp, user_id long, value double")
+    r = asof_join(left, right.select("user_id", "ts", "event_id", "value"),
+                  by="user_id", ts_col="ts",
+                  right_cols=("event_id", "value"))
+    got = {row.event_id: (row.event_id_r, row.value_r)
+           for row in r.collect()}
+    assert got[1] == (51, 2.0)     # inclusive tie
+    assert got[2] == (52, 3.0)     # latest preceding
+    assert got[3] == (None, None)  # nothing at or before
+
+    # tolerance: id 2's match is 4 min old; 60s tolerance drops it
+    r2 = asof_join(left, right.select("user_id", "ts", "event_id", "value"),
+                   by="user_id", ts_col="ts",
+                   right_cols=("event_id", "value"), tolerance_sec=60)
+    got2 = {row.event_id: row.event_id_r for row in r2.collect()}
+    assert got2[1] == 51 and got2[2] is None and got2[3] is None
