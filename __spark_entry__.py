@@ -357,6 +357,27 @@ def _o_minhash_lsh(_: str) -> str:
     """
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+def _o_vocab_topk(_: str) -> str:
+    return """
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents),
+    c AS (
+        SELECT tok AS token, COUNT(*) AS n FROM toks
+        WHERE tok <> '' GROUP BY tok)
+    SELECT token, CAST(n AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+               AS rank
+    FROM c ORDER BY n DESC, token ASC LIMIT 100
+    """
+
+
 def _q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution as-of join: each purchase picks up the latest
     preceding click by the same user (backward ASOF)."""
@@ -807,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
+        "vocab_topk": _q_vocab_topk,
         "embedding_neardup": _q_embedding_neardup,
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,
@@ -838,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": _o_langid(sf),
         "fingerprint": _o_fingerprint(sf),
         "token_counts": _o_token_counts(sf),
+        "vocab_topk": _o_vocab_topk(sf),
         "embedding_neardup": _o_embedding_neardup(sf),
         "sessionize": _o_sessionize(sf),
         "asof_attrib": _o_asof_attrib(sf),

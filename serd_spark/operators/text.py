@@ -113,3 +113,27 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("long").alias("norm_len"))
+
+
+def vocab_topk(docs: DataFrame, text_col: str = "text",
+               k: int = 100) -> DataFrame:
+    """Corpus vocabulary: global token frequencies, top-k with a
+    deterministic tie-break (count desc, token asc).
+
+    The 100 TB shape: explode → groupBy(token) is one shuffle with
+    map-side partial counts (the shuffle carries one row per distinct
+    token per partition, not per occurrence); the top-k itself is
+    ``orderBy(...).limit(k)`` which Spark executes as
+    TakeOrderedAndProject — per-partition heaps + a driver merge, no
+    single-reducer global sort.  Ranks are added on the k-row result.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .alias("token")).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
