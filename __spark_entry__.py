@@ -378,6 +378,60 @@ def _o_vocab_topk(_: str) -> str:
     """
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing: language-stratified deterministic hash sampling
+    over langid predictions (downsample en, keep others)."""
+    from serd_spark.operators.text import lang_id, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = lang_id(docs).select("doc_id", "lang_pred")
+    tagged = docs.join(langs, "doc_id")
+    rates = {"en": 0.25, "de": 0.8, "fr": 0.8, "es": 0.8, "und": 0.05}
+    out = stratified_sample(tagged, rates, strata_col="lang_pred",
+                            key_col="doc_id")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "lang_pred")
+
+
+def _o_stratified_sample(_: str) -> str:
+    # mirrors lang_id's stopword-vote argmax, then the md5-threshold
+    # sample: uniform = first 8 md5 hex chars / 2^32 < rate[lang]
+    from serd_spark.operators.text import LANG_STOPWORDS
+
+    scores = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(text, '\\b{w}\\b'))"
+            for w in words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    score_cols = ",\n".join(
+        f"({expr}) AS score_{lang}" for lang, expr in sorted(scores.items()))
+    best = "GREATEST(" + ", ".join(
+        f"score_{lang}" for lang in sorted(LANG_STOPWORDS)) + ")"
+    pred = "'und'"
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = f"CASE WHEN score_{lang} = best THEN '{lang}' ELSE {pred} END"
+    rates_sql = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(
+            {"en": 0.25, "de": 0.8, "fr": 0.8, "es": 0.8,
+             "und": 0.05}.items()))
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, text, {score_cols} FROM documents),
+    best AS (
+        SELECT *, {best} AS best FROM scored),
+    pred AS (
+        SELECT doc_id,
+               CASE WHEN best = 0 THEN 'und' ELSE {pred} END AS lang_pred
+        FROM best),
+    rates(lang_pred, rate) AS (VALUES {rates_sql})
+    SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.lang_pred
+    FROM pred p JOIN rates r USING (lang_pred)
+    WHERE ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < r.rate
+    """
+
+
 def _q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution as-of join: each purchase picks up the latest
     preceding click by the same user (backward ASOF)."""
@@ -829,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
         "vocab_topk": _q_vocab_topk,
+        "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,
@@ -861,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _o_fingerprint(sf),
         "token_counts": _o_token_counts(sf),
         "vocab_topk": _o_vocab_topk(sf),
+        "stratified_sample": _o_stratified_sample(sf),
         "embedding_neardup": _o_embedding_neardup(sf),
         "sessionize": _o_sessionize(sf),
         "asof_attrib": _o_asof_attrib(sf),

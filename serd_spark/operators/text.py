@@ -137,3 +137,41 @@ def vocab_topk(docs: DataFrame, text_col: str = "text",
     top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def hash_uniform_col(key, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) from a key: first 8 md5 hex chars
+    as a 32-bit integer over 2^32.  Engine-portable (md5 everywhere),
+    stable under retries/partitioning — the right way to sample a
+    training corpus (never ``rand()``, which breaks exactly-once and
+    reproducibility)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+            / F.lit(float(1 << 32)))
+
+
+def stratified_sample(
+    docs: DataFrame, rates: dict, strata_col: str = "lang_pred",
+    key_col: str = "doc_id", default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing op
+    (upsample rare languages / downsample boilerplate): keep a row iff
+    ``hash_uniform(key) < rates[stratum]``.
+
+    The rate table rides a broadcast join (tiny dim), the filter is a
+    pure JVM column expression, and membership is a pure function of
+    (key, salt) — reruns, retries, and different partitionings all
+    select the same rows.  Different ``salt`` values draw independent
+    samples (e.g. train/validation splits)."""
+    spark = docs.sparkSession
+    rate_tbl = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(rates.items())],
+        f"{strata_col} string, _rate double")
+    u = hash_uniform_col(F.col(key_col), salt)
+    return (
+        docs.join(F.broadcast(rate_tbl), strata_col, "left")
+        .withColumn("_rate", F.coalesce("_rate", F.lit(default_rate)))
+        .where(u < F.col("_rate"))
+        .drop("_rate")
+    )

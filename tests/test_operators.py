@@ -447,3 +447,33 @@ def test_stateful_parse_tws_variant(spark, tmpdir_path):
     assert set(g) == set(w)
     for conv in w:
         assert isomorphic(g[conv], w[conv]), conv
+
+
+def test_stratified_sample_deterministic(spark):
+    """Hash sampling: rerun-identical, partitioning-independent,
+    salt-independent draws, approximate rate."""
+    from serd_spark.operators.text import hash_uniform_col, stratified_sample
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+        .alias("lang_pred"))
+    rates = {"en": 0.2, "de": 0.9}
+    a = {r.doc_id for r in stratified_sample(docs, rates).collect()}
+    b = {r.doc_id
+         for r in stratified_sample(docs.repartition(13), rates).collect()}
+    assert a == b  # partitioning-independent
+    en = sum(1 for d in a if d % 2 == 0) / 2000
+    de = sum(1 for d in a if d % 2 == 1) / 2000
+    assert abs(en - 0.2) < 0.05 and abs(de - 0.9) < 0.05
+    # independent draws per salt
+    c = {r.doc_id
+         for r in stratified_sample(docs, rates, salt="v2").collect()}
+    assert c != a
+    # unknown stratum -> default_rate 0 (dropped)
+    docs2 = docs.withColumn("lang_pred", F.lit("xx"))
+    assert stratified_sample(docs2, rates).count() == 0
+    # uniform col in [0, 1)
+    u = docs.select(hash_uniform_col(F.col("doc_id")).alias("u")) \
+        .agg(F.min("u"), F.max("u")).first()
+    assert 0.0 <= u[0] and u[1] < 1.0
