@@ -432,6 +432,55 @@ def _o_stratified_sample(_: str) -> str:
     """
 
 
+def _q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.text import doc_length_profile
+
+    return doc_length_profile(_t(spark, sf_dir, "documents"))
+
+
+def _o_doc_profile(_: str) -> str:
+    # langid-mirror CTE + exact quantile_cont (same linear
+    # interpolation as Spark's percentile())
+    from serd_spark.operators.text import LANG_STOPWORDS
+
+    scores = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(text, '\\b{w}\\b'))"
+            for w in words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    score_cols = ",\n".join(
+        f"({expr}) AS score_{lang}" for lang, expr in sorted(scores.items()))
+    best = "GREATEST(" + ", ".join(
+        f"score_{lang}" for lang in sorted(LANG_STOPWORDS)) + ")"
+    pred = "'und'"
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = f"CASE WHEN score_{lang} = best THEN '{lang}' ELSE {pred} END"
+    cols = []
+    for name, expr in (("chars", "len(text)::DOUBLE"),
+                       ("toks", "len(string_split_regex(trim(text), "
+                                "'\\s+'))::DOUBLE")):
+        for p in (50, 90, 99):
+            cols.append(f"ROUND(quantile_cont({expr}, {p / 100}), 6) "
+                        f"AS {name}_p{p}")
+        cols.append(f"ROUND(AVG({expr}), 6) AS {name}_mean")
+        cols.append(f"CAST(MIN({expr}) AS BIGINT) AS {name}_min")
+        cols.append(f"CAST(MAX({expr}) AS BIGINT) AS {name}_max")
+    cols_sql = ",\n           ".join(cols)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, text, {score_cols} FROM documents),
+    best AS (SELECT *, {best} AS best FROM scored),
+    pred AS (
+        SELECT doc_id, text,
+               CASE WHEN best = 0 THEN 'und' ELSE {pred} END AS lang_pred
+        FROM best)
+    SELECT lang_pred, COUNT(*) AS n_docs,
+           {cols_sql}
+    FROM pred GROUP BY lang_pred
+    """
+
+
 def _q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution as-of join: each purchase picks up the latest
     preceding click by the same user (backward ASOF)."""
@@ -884,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "vocab_topk": _q_vocab_topk,
         "stratified_sample": _q_stratified_sample,
+        "doc_profile": _q_doc_profile,
         "embedding_neardup": _q_embedding_neardup,
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,
@@ -917,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _o_token_counts(sf),
         "vocab_topk": _o_vocab_topk(sf),
         "stratified_sample": _o_stratified_sample(sf),
+        "doc_profile": _o_doc_profile(sf),
         "embedding_neardup": _o_embedding_neardup(sf),
         "sessionize": _o_sessionize(sf),
         "asof_attrib": _o_asof_attrib(sf),

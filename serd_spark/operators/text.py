@@ -175,3 +175,37 @@ def stratified_sample(
         .where(u < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def doc_length_profile(
+    docs: DataFrame, text_col: str = "text",
+    percentiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Corpus length profile per language stratum: exact percentiles
+    (Spark ``percentile`` = linear interpolation, the same definition
+    as SQL ``quantile_cont``), mean, and extremes of char length and
+    whitespace token count.
+
+    Exact percentiles need a per-group sort — the profiling pass you
+    run on a sample or accept one shuffle for; the streaming/huge-
+    corpus variant swaps in ``percentile_approx`` (t-digest sketch,
+    mergeable, no sort) at the cost of oracle exactness."""
+    langs = lang_id(docs).select("doc_id", "lang_pred")
+    aggs = []
+    for name in ("chars", "toks"):
+        for p in percentiles:
+            aggs.append(
+                F.round(F.percentile(F.col(name), F.lit(p)), 6)
+                .alias(f"{name}_p{int(p * 100)}"))
+        aggs.append(F.round(F.avg(name), 6).alias(f"{name}_mean"))
+        aggs.append(F.min(name).cast("long").alias(f"{name}_min"))
+        aggs.append(F.max(name).cast("long").alias(f"{name}_max"))
+    return (
+        docs.join(langs, "doc_id")
+        .select("lang_pred",
+                F.length(F.col(text_col)).cast("double").alias("chars"),
+                token_count_col(F.col(text_col)).cast("double")
+                .alias("toks"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"), *aggs)
+    )

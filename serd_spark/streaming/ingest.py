@@ -355,3 +355,21 @@ def stateful_incremental_parse_tws(
             timeMode="None",
         )
     )
+
+
+def streaming_exact_dedup(
+    transcripts: DataFrame, watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop turns whose text content was
+    already seen within the watermark window
+    (``dropDuplicatesWithinWatermark`` — state is bounded by the
+    watermark instead of growing forever like plain
+    ``dropDuplicates`` on a stream).  The batch analogue is
+    ``operators/dedup.exact_dedup``; this is its ingest-time form —
+    dedup before the parse so duplicate conversations never cost
+    parse work."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .withColumn("content_hash", F.md5(F.col("text")))
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

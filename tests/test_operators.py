@@ -477,3 +477,41 @@ def test_stratified_sample_deterministic(spark):
     u = docs.select(hash_uniform_col(F.col("doc_id")).alias("u")) \
         .agg(F.min("u"), F.max("u")).first()
     assert 0.0 <= u[0] and u[1] < 1.0
+
+
+def test_streaming_exact_dedup(spark, tmpdir_path):
+    """dropDuplicatesWithinWatermark keeps one row per distinct text
+    within the watermark (state bounded, unlike plain dropDuplicates
+    on a stream)."""
+    from datetime import datetime as DT
+
+    from serd_spark.streaming.ingest import (
+        stream_transcripts,
+        streaming_exact_dedup,
+    )
+    from serd_spark.transcripts import TRANSCRIPT_SCHEMA
+
+    base = DT(2024, 1, 1, 10, 0)
+    rows = []
+    for i in range(30):
+        # 10 distinct texts, each repeated 3x, close timestamps
+        rows.append((f"c{i}", 0, "user",
+                     f"<http://a/s{i % 10}> <http://a/p> <http://a/o> .",
+                     None, base))
+    inp = os.path.join(tmpdir_path, "sdin")
+    out = os.path.join(tmpdir_path, "sdout")
+    ckpt = os.path.join(tmpdir_path, "sdckpt")
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(inp)
+
+    q = (
+        streaming_exact_dedup(stream_transcripts(spark, inp))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+    assert got.select("content_hash").distinct().count() == 10
