@@ -116,3 +116,24 @@ def checkpoint_info(path: str) -> dict | None:
         return None
     with open(m) as f:
         return json.load(f)
+
+
+def write_bucketed_triples(
+    triples: DataFrame, table: str, n_buckets: int = 64,
+    bucket_col: str = "s",
+) -> None:
+    """Materialize triples bucketed (and sorted within buckets) by a
+    join key — the layout that makes downstream self-joins (s-s path
+    joins, s-o chains) and point lookups exchange-free: Spark reads
+    the bucket spec from the catalog and plans SortMergeJoin WITHOUT
+    an Exchange on either side.  This is the parquet/warehouse form of
+    the Iceberg `bucket(N, s)` partition transform the deploy target
+    uses; `parse_documents_colocated` expects the same discipline on
+    the transcripts side (bucket by conv_id)."""
+    (
+        triples.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )

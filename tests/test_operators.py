@@ -515,3 +515,40 @@ def test_streaming_exact_dedup(spark, tmpdir_path):
     got = spark.read.parquet(out)
     assert got.count() == 10
     assert got.select("content_hash").distinct().count() == 10
+
+
+def test_bucketed_triples_join_has_no_exchange(spark, tmpdir_path):
+    """Bucketed materialization makes the s-s self-join (path join)
+    exchange-free — the co-located layout the scale design assumes."""
+    from serd_spark.operators.materialize import write_bucketed_triples
+    from serd_spark.operators.parse import (
+        parse_ntriples_lines,
+        split_quarantine,
+    )
+    from serd_spark.transcripts import transcripts_df
+
+    tdf = spark.createDataFrame(
+        [("c1", i, "user",
+          f"<http://a/s{i % 7}> <http://a/p{i}> <http://a/o{i}> .",
+          None, None) for i in range(50)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    triples, _ = split_quarantine(parse_ntriples_lines(tdf))
+
+    write_bucketed_triples(triples, "t_bucketed", n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable broadcast so the plan shows the big-table shape (two
+    # bucketed scans feeding SortMergeJoin); with broadcast the
+    # planner rightly ignores bucketing for a tiny table
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table("t_bucketed")
+        j = t.alias("a").join(t.alias("b"), "s") \
+            .select(F.col("a.p"), F.col("b.o"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucketed")
