@@ -249,6 +249,70 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                          F.col("lbl").alias("cluster_id"))
 
 
+def dup_clusters_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the variant for adversarial long-chain graphs, where plain
+    min-label propagation needs O(diameter) rounds: star operations
+    contract chains geometrically, converging in O(log n) rounds.
+
+    large-star: every node connects its LARGER neighbors to its
+    current minimum (incl. itself); small-star: every node connects
+    its smaller-or-equal neighbors to its minimum.  Each is one
+    groupBy + one explode; edges localCheckpoint per round (lineage
+    truncation, same reason as :func:`dup_clusters`).  Output matches
+    :func:`dup_clusters`: (doc_id, cluster_id = component minimum).
+    """
+    edges = pairs.select(F.col("doc_a").alias("u"),
+                         F.col("doc_b").alias("v")) \
+        .where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # operate on the symmetric closure; each node u computes
+        # m = min(neighbors ∪ {u}) and re-points its larger (large-
+        # star) / smaller-or-equal (small-star) neighbors AND itself
+        # at m — chains contract geometrically
+        # (fresh aliases at every union branch: self-unions of shared
+        # lineage otherwise hit Catalyst attribute-id collisions)
+        sym = e.select(F.col("u").alias("u"), F.col("v").alias("v")) \
+            .union(e.select(F.col("v").alias("u"),
+                            F.col("u").alias("v")))
+        nbrs = sym.groupBy("u").agg(F.collect_set("v").alias("vs"))
+        m = F.array_min(F.array_union(F.col("vs"), F.array(F.col("u"))))
+        cond = ((F.col("v") > F.col("u")) if large
+                else (F.col("v") <= F.col("u")))
+        with_m = nbrs.withColumn("m", m)
+        repointed = (
+            with_m.select("u", "m", F.explode("vs").alias("v"))
+            .where(cond)
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = with_m.select(F.col("u").alias("u"),
+                                  F.col("m").alias("v"))
+        return repointed.union(self_edge) \
+            .where(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_iter):
+        after = star(star(edges, large=True), large=False) \
+            .localCheckpoint()
+        # converged when the edge set is stable
+        delta = after.exceptAll(edges).count() + \
+            edges.exceptAll(after).count()
+        edges = after
+        if delta == 0:
+            break
+
+    # at convergence every node points at its component minimum
+    members = edges.select(F.col("u").alias("doc_id"),
+                           F.col("v").alias("cluster_id"))
+    roots = edges.select(F.col("v").alias("doc_id")) \
+        .distinct() \
+        .join(edges.select(F.col("u").alias("doc_id")).distinct(),
+              "doc_id", "left_anti") \
+        .withColumn("cluster_id", F.col("doc_id"))
+    return members.union(roots)
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             n_bits: int = 64) -> DataFrame:
     """Per-document SimHash over whitespace tokens: bit i of the

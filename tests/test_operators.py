@@ -552,3 +552,22 @@ def test_bucketed_triples_join_has_no_exchange(spark, tmpdir_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bucketed")
+
+
+def test_dup_clusters_star_matches_label_prop(spark):
+    """large-star/small-star CC == min-label propagation on chains,
+    triangles, and a long adversarial path (the O(log n) variant)."""
+    from serd_spark.operators.dedup import dup_clusters, dup_clusters_star
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),
+             (10, 11),
+             (20, 21), (21, 22), (20, 22)]
+    # adversarial 30-node chain
+    edges += [(100 + i, 101 + i) for i in range(30)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = {(r.doc_id, r.cluster_id)
+         for r in dup_clusters(pairs, max_iter=60).collect()}
+    b = {(r.doc_id, r.cluster_id)
+         for r in dup_clusters_star(pairs).collect()}
+    assert a == b
+    assert all(c == 100 for d, c in b if d >= 100)
