@@ -92,3 +92,69 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                            F.lit(every_ms))).alias("frame_ts_ms"),
         )
     )
+
+
+def probe_image_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL (dependency-free) image header probe: container format +
+    pixel dimensions from the first bytes of PNG / JPEG / GIF
+    payloads — the metadata-extraction step that does NOT need a
+    decoder, so it runs even in codec-less environments.  Returns
+    (format, width, height) or None for unrecognized bytes.
+
+    Formats (public specs): PNG IHDR (8-byte signature, big-endian
+    W/H at offsets 16/20), GIF87a/89a (little-endian W/H at 6/8),
+    JPEG SOF0/1/2 markers (big-endian H/W in the frame header).
+    """
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" \
+            and payload[12:16] == b"IHDR":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return ("png", w, h)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return ("gif", w, h)
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        n = len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                return None  # marker desync
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+    return None
+
+
+def image_metadata(media: DataFrame) -> DataFrame:
+    """Header-derived image metadata over the binary column: detected
+    container format and probed dimensions, plus a mismatch flag
+    against the declared width/height columns (catalog-vs-bytes
+    drift detection).  Arrow-batched; rows whose payload isn't a
+    recognizable image get fmt=NULL (quarantine-style, never a
+    failure)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                probe = probe_image_dims(bytes(r.payload))
+                fmt, w, h = probe if probe else (None, None, None)
+                declared_ok = (probe is not None and w == r.width
+                               and h == r.height)
+                out.append((int(r.media_id), fmt, w, h, declared_ok))
+            yield pd.DataFrame(
+                out, columns=["media_id", "fmt", "probe_width",
+                              "probe_height", "matches_declared"])
+
+    return media.mapInPandas(
+        run, schema="media_id long, fmt string, probe_width int, "
+                    "probe_height int, matches_declared boolean")

@@ -571,3 +571,48 @@ def test_dup_clusters_star_matches_label_prop(spark):
          for r in dup_clusters_star(pairs).collect()}
     assert a == b
     assert all(c == 100 for d, c in b if d >= 100)
+
+
+def test_image_header_probe(spark):
+    """Dependency-free image metadata: PNG/GIF/JPEG dimensions parsed
+    from real header bytes; junk payloads degrade to fmt=NULL."""
+    import struct
+
+    from serd_spark.operators.multimodal import (
+        image_metadata,
+        probe_image_dims,
+    )
+
+    def png(w, h):
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00")
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+    def jpeg(w, h):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    assert probe_image_dims(png(640, 480)) == ("png", 640, 480)
+    assert probe_image_dims(gif(320, 200)) == ("gif", 320, 200)
+    assert probe_image_dims(jpeg(1024, 768)) == ("jpeg", 1024, 768)
+    assert probe_image_dims(b"not an image at all") is None
+    assert probe_image_dims(b"\xff\xd8\xff\xd9") is None  # SOI+EOI only
+
+    rows = [
+        (1, "image", bytearray(png(640, 480)), "image/png", 640, 480, 0),
+        (2, "image", bytearray(jpeg(99, 44)), "image/jpeg", 100, 44, 0),
+        (3, "image", bytearray(b"garbage"), "image/png", 10, 10, 0),
+    ]
+    from serd_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in image_metadata(media).collect()}
+    assert (got[1].fmt, got[1].probe_width, got[1].matches_declared) == \
+        ("png", 640, True)
+    assert (got[2].fmt, got[2].probe_width, got[2].matches_declared) == \
+        ("jpeg", 99, False)  # catalog drift detected
+    assert got[3].fmt is None and got[3].matches_declared is False
