@@ -158,3 +158,55 @@ def image_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         run, schema="media_id long, fmt string, probe_width int, "
                     "probe_height int, matches_declared boolean")
+
+
+def probe_wav_meta(payload: bytes) -> tuple[int, int, int, int] | None:
+    """REAL (dependency-free) WAV header probe: (sample_rate,
+    channels, bits_per_sample, duration_ms) from the RIFF/WAVE fmt
+    and data chunks.  None for non-WAV bytes."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    rate = channels = bits = None
+    data_len = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            channels = int.from_bytes(payload[i + 10 : i + 12], "little")
+            rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if not (rate and channels and bits and data_len is not None):
+        return None
+    bytes_per_sec = rate * channels * (bits // 8)
+    dur_ms = (data_len * 1000) // bytes_per_sec if bytes_per_sec else 0
+    return (rate, channels, bits, dur_ms)
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """Header-derived audio metadata over the binary column (WAV);
+    non-WAV payloads degrade to NULLs, duration drift vs the declared
+    duration_ms column is flagged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                probe = probe_wav_meta(bytes(r.payload))
+                rate, ch, bits, dur = probe if probe else (
+                    None, None, None, None)
+                ok = probe is not None and dur == r.duration_ms
+                out.append((int(r.media_id), rate, ch, bits, dur, ok))
+            yield pd.DataFrame(
+                out, columns=["media_id", "sample_rate", "channels",
+                              "bits", "probe_duration_ms",
+                              "matches_declared"])
+
+    return media.mapInPandas(
+        run, schema="media_id long, sample_rate int, channels int, "
+                    "bits int, probe_duration_ms int, "
+                    "matches_declared boolean")

@@ -616,3 +616,57 @@ def test_image_header_probe(spark):
     assert (got[2].fmt, got[2].probe_width, got[2].matches_declared) == \
         ("jpeg", 99, False)  # catalog drift detected
     assert got[3].fmt is None and got[3].matches_declared is False
+
+
+def test_wav_header_probe(spark):
+    """WAV metadata from real RIFF/WAVE header bytes."""
+    import struct
+
+    from serd_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_metadata,
+        probe_wav_meta,
+    )
+
+    def wav(rate, channels, bits, n_samples):
+        data = b"\x00" * (n_samples * channels * (bits // 8))
+        fmt = (b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HHIIHH", 1, channels, rate,
+                             rate * channels * bits // 8,
+                             channels * bits // 8, bits))
+        body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    p = wav(16000, 1, 16, 16000)  # exactly 1 second
+    assert probe_wav_meta(p) == (16000, 1, 16, 1000)
+    assert probe_wav_meta(b"RIFFxxxx not wave") is None
+    assert probe_wav_meta(b"\x00\x01") is None
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(p), "audio/wav", 0, 0, 1000),
+         (2, "audio", bytearray(b"junk"), "audio/wav", 0, 0, 5)],
+        MEDIA_SCHEMA)
+    got = {r.media_id: r for r in audio_metadata(media).collect()}
+    assert (got[1].sample_rate, got[1].probe_duration_ms,
+            got[1].matches_declared) == (16000, 1000, True)
+    assert got[2].sample_rate is None and got[2].matches_declared is False
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is result-transparent: same rows as the plain join,
+    with the hot key spread over n_salts sub-keys."""
+    from serd_spark.operators.skew import salted_join
+
+    # one hot key (90% of rows) + a long tail
+    left = spark.createDataFrame(
+        [(0 if i % 10 else i, i) for i in range(2000)], "k long, v long")
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, 2000, 7)], "k long, name string")
+    plain = {tuple(r) for r in left.join(right, "k").collect()}
+    salted = {tuple(r)
+              for r in salted_join(left, right, "k", n_salts=8).collect()}
+    assert salted == plain and plain
+    # outer join parity too
+    plain_l = left.join(right, "k", "left").count()
+    salted_l = salted_join(left, right, "k", n_salts=8, how="left").count()
+    assert salted_l == plain_l
