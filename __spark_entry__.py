@@ -481,6 +481,40 @@ def _o_doc_profile(_: str) -> str:
     """
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.text import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents"))
+
+
+def _o_repetition(_: str) -> str:
+    def dup(k: int) -> str:
+        return f"""
+        CASE WHEN len(w) >= {k} THEN
+            ROUND(1 - len(list_distinct(list_transform(
+                      range(1, len(w) - {k - 2}),
+                      i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(k))})))
+                    / (len(w) - {k - 1})::DOUBLE, 6)
+        ELSE 0.0 END AS dup_{k}gram_frac"""
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS w,
+               list_filter(string_split(text, chr(10)),
+                           x -> trim(x) <> '') AS lines
+        FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {dup(2)},
+           {dup(3)},
+           CASE WHEN len(lines) > 0 THEN
+               ROUND(1 - len(list_distinct(lines))
+                       / len(lines)::DOUBLE, 6)
+           ELSE 0.0 END AS dup_line_frac
+    FROM base
+    """
+
+
 def _q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution as-of join: each purchase picks up the latest
     preceding click by the same user (backward ASOF)."""
@@ -934,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "stratified_sample": _q_stratified_sample,
         "doc_profile": _q_doc_profile,
+        "repetition": _q_repetition,
         "embedding_neardup": _q_embedding_neardup,
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,
@@ -968,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _o_vocab_topk(sf),
         "stratified_sample": _o_stratified_sample(sf),
         "doc_profile": _o_doc_profile(sf),
+        "repetition": _o_repetition(sf),
         "embedding_neardup": _o_embedding_neardup(sf),
         "sessionize": _o_sessionize(sf),
         "asof_attrib": _o_asof_attrib(sf),

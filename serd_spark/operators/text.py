@@ -209,3 +209,39 @@ def doc_length_profile(
         .groupBy("lang_pred")
         .agg(F.count("*").cast("long").alias("n_docs"), *aggs)
     )
+
+
+def repetition_features(
+    docs: DataFrame, text_col: str = "text", ks: tuple = (2, 3),
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/FineWeb-style
+    boilerplate filter): for each n-gram size k, the fraction of
+    n-gram OCCURRENCES that are duplicates of an earlier occurrence
+    (``1 - distinct/total``), plus the duplicate fraction of whole
+    lines.  High values flag templated/spammy documents.
+
+    Pure JVM column expressions — the shingle arrays come from the
+    same slice+zip_with construction as the dedup operators (no
+    per-element re-evaluation), distinctness via ``array_distinct``;
+    no shuffle beyond the scan."""
+    from ..operators.dedup import _shingles_from_tokens
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    cols = [F.col("doc_id").cast("long").alias("doc_id")]
+    base = docs.select("doc_id", toks.alias("_toks"),
+                       F.split(F.col(text_col), "\n").alias("_lines"))
+    for k in ks:
+        sh = _shingles_from_tokens(F.col("_toks"), k)
+        n = F.size(sh)
+        dup_frac = F.when(
+            n > 0,
+            F.round(1 - F.size(F.array_distinct(sh)) / n, 6),
+        ).otherwise(F.lit(0.0))
+        cols.append(dup_frac.alias(f"dup_{k}gram_frac"))
+    lines = F.filter(F.col("_lines"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    cols.append(
+        F.when(n_lines > 0,
+               F.round(1 - F.size(F.array_distinct(lines)) / n_lines, 6))
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"))
+    return base.select(*cols)
