@@ -515,6 +515,30 @@ def _o_repetition(_: str) -> str:
     """
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.text import pii_scrub
+
+    return pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+def _o_pii_scrub(_: str) -> str:
+    from serd_spark.operators.text import PII_PATTERNS
+
+    counts = ",\n".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+        f"AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    scrubbed = "text"
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {counts},
+           {scrubbed} AS scrubbed
+    FROM documents
+    """
+
+
 def _q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution as-of join: each purchase picks up the latest
     preceding click by the same user (backward ASOF)."""
@@ -969,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "doc_profile": _q_doc_profile,
         "repetition": _q_repetition,
+        "pii_scrub": _q_pii_scrub,
         "embedding_neardup": _q_embedding_neardup,
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,
@@ -1004,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _o_stratified_sample(sf),
         "doc_profile": _o_doc_profile(sf),
         "repetition": _o_repetition(sf),
+        "pii_scrub": _o_pii_scrub(sf),
         "embedding_neardup": _o_embedding_neardup(sf),
         "sessionize": _o_sessionize(sf),
         "asof_attrib": _o_asof_attrib(sf),

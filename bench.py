@@ -38,7 +38,7 @@ HEADLINE = [
     "sorted_topk", "join_revenue", "set_ops", "exact_dedup",
     "minhash_lsh", "dedup_clusters", "ngram_jaccard", "simhash",
     "cosine_topk",
-    "quality", "langid", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "doc_profile", "repetition",
+    "quality", "langid", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "doc_profile", "repetition", "pii_scrub",
     "embedding_neardup", "sessionize", "asof_attrib",
 ]
 

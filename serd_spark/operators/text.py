@@ -245,3 +245,37 @@ def repetition_features(
                F.round(1 - F.size(F.array_distinct(lines)) / n_lines, 6))
         .otherwise(F.lit(0.0)).alias("dup_line_frac"))
     return base.select(*cols)
+
+
+# PII patterns: deliberately RE2-compatible (no lookaround/backrefs)
+# so the same pattern runs in Spark (Java regex) and the SQL oracle.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()\-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII redaction: mask emails, IPv4 addresses, and
+    international-format phone numbers with typed placeholders, and
+    count each kind (the audit trail).  Pure JVM ``regexp_replace``/
+    ``regexp_count`` — no Python in the path; patterns applied in a
+    fixed order so output is engine-reproducible.  (A production
+    scrubber adds locale-specific ids; the operator shape — ordered
+    pattern table, typed counts, masked column — is the contract.)"""
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = text
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *counts,
+        scrubbed.alias("scrubbed"),
+    )

@@ -670,3 +670,36 @@ def test_salted_join_equals_plain_join(spark):
     plain_l = left.join(right, "k", "left").count()
     salted_l = salted_join(left, right, "k", n_salts=8, how="left").count()
     assert salted_l == plain_l
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    """Masking + typed counts on synthetic PII, with DuckDB parity on
+    the same patterns (the documents table itself is PII-free, so the
+    oracle row only proves pass-through; this proves the scrub)."""
+    import duckdb
+
+    from serd_spark.operators.text import PII_PATTERNS, pii_scrub
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call +44 20 7946 0958"),
+        (2, "server at 192.168.0.1 and 10.0.0.255, no mail"),
+        (3, "clean text with nothing sensitive"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+    assert "<EMAIL>" in got[1].scrubbed and "<PHONE>" in got[1].scrubbed
+    assert "jane" not in got[1].scrubbed and "0958" not in got[1].scrubbed
+    assert got[2].n_ipv4 == 2 and got[2].scrubbed.count("<IP>") == 2
+    assert got[3].scrubbed == rows[2][1]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    scrubbed = "text"
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    want = dict(con.execute(
+        f"SELECT doc_id, {scrubbed} FROM d").fetchall())
+    for i in (1, 2, 3):
+        assert got[i].scrubbed == want[i], i
