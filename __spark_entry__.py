@@ -539,6 +539,48 @@ def _o_pii_scrub(_: str) -> str:
     """
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.dedup import exact_dedup_keep_best
+    from serd_spark.operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_keep_best(docs, quality_features(docs))
+
+
+def _o_dedup_keep_best(_: str) -> str:
+    # mirrors quality_features' score, then argmax per content hash
+    from serd_spark.operators.text import STOPWORDS_EN
+
+    stop_hits = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+        for w in STOPWORDS_EN)
+    return f"""
+    WITH q AS (
+        SELECT doc_id, md5(text) AS content_hash,
+               ROUND(
+                 LEAST(1.0, len(string_split_regex(trim(text), '\\s+'))
+                            / 64.0) * 0.4
+                 + LEAST(1.0, ROUND(({stop_hits})
+                     / GREATEST(len(string_split_regex(trim(text),
+                                                       '\\s+')), 1)::DOUBLE,
+                     6) * 4.0) * 0.4
+                 + CASE WHEN ROUND(
+                       len(regexp_extract_all(text,
+                           '[.,;:!?''\"()\\[\\]{{}}]'))
+                       / GREATEST(len(text), 1)::DOUBLE, 6) < 0.1
+                   THEN 0.2 ELSE 0.0 END, 6) AS quality_score
+        FROM documents),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY content_hash
+            ORDER BY quality_score DESC, doc_id ASC) AS rn
+        FROM q)
+    SELECT content_hash, CAST(doc_id AS BIGINT) AS rep_doc_id,
+           quality_score
+    FROM ranked WHERE rn = 1
+    """
+
+
 def _q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution as-of join: each purchase picks up the latest
     preceding click by the same user (backward ASOF)."""
@@ -980,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue": _q_join_revenue,
         "set_ops": _q_set_ops,
         "exact_dedup": _q_exact_dedup,
+        "dedup_keep_best": _q_dedup_keep_best,
         "minhash_lsh": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1016,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
         "join_revenue": _o_join_revenue(sf),
         "set_ops": _o_set_ops(sf),
         "exact_dedup": _o_exact_dedup(sf),
+        "dedup_keep_best": _o_dedup_keep_best(sf),
         "minhash_lsh": _o_minhash_lsh(sf),
         "dedup_clusters": _o_dedup_clusters(sf),
         "ngram_jaccard": _o_ngram_jaccard(sf),

@@ -35,7 +35,7 @@ CORPUS_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CORPUS",
 HEADLINE = [
     "nt_roundtrip", "agg_pricing", "broadcast_expand",
     "anti_join_undefined", "window_stmt_idx", "explode_fanout",
-    "sorted_topk", "join_revenue", "set_ops", "exact_dedup",
+    "sorted_topk", "join_revenue", "set_ops", "exact_dedup", "dedup_keep_best",
     "minhash_lsh", "dedup_clusters", "ngram_jaccard", "simhash",
     "cosine_topk",
     "quality", "langid", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "doc_profile", "repetition", "pii_scrub",

@@ -355,3 +355,28 @@ def simhash(docs: DataFrame, text_col: str = "text",
         F.lit(0),
     )
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def exact_dedup_keep_best(
+    docs: DataFrame, score: DataFrame, text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup that keeps the BEST duplicate, not an arbitrary
+    one: within each content-hash group the representative maximizes
+    ``quality_score`` (ties broken by min doc_id) — what a real
+    training pipeline does when duplicates differ in metadata.
+    ``score`` is (doc_id, quality_score), e.g. from
+    ``text.quality_features``.  One shuffle (window over the hash)."""
+    h = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.md5(F.col(text_col)).alias("content_hash"))
+    joined = h.join(score.select(F.col("doc_id").cast("long")
+                                 .alias("doc_id"), "quality_score"),
+                    "doc_id")
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("content_hash",
+                F.col("doc_id").alias("rep_doc_id"),
+                "quality_score")
+    )

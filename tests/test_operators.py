@@ -703,3 +703,29 @@ def test_pii_scrub_masks_and_counts(spark):
         f"SELECT doc_id, {scrubbed} FROM d").fetchall())
     for i in (1, 2, 3):
         assert got[i].scrubbed == want[i], i
+
+
+def test_session_window_matches_gaps_and_islands(spark):
+    """Spark's native session_window produces the same sessions as our
+    gaps-and-islands formulation (two independent derivations of the
+    same semantics cross-validate each other)."""
+    from serd_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ours = sessionize(ev, gap_sec=1800).select(
+        "key", "n_events", "start_ep", "end_ep")
+    native = (
+        ev.groupBy("user_id",
+                   F.session_window(F.col("ts").cast("timestamp"),
+                                    "1800 seconds").alias("w"))
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.round(F.min(F.col("ts").cast("timestamp").cast("double")),
+                     6).alias("start_ep"),
+             F.round(F.max(F.col("ts").cast("timestamp").cast("double")),
+                     6).alias("end_ep"))
+        .select(F.col("user_id").alias("key"), "n_events",
+                "start_ep", "end_ep")
+    )
+    a = {tuple(r) for r in ours.collect()}
+    b = {tuple(r) for r in native.collect()}
+    assert a == b and a
