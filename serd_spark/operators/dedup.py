@@ -224,6 +224,10 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                      F.col("doc_a").alias("v"))).localCheckpoint()
     labels = edges.select("u").distinct() \
         .withColumn("lbl", F.col("u")).localCheckpoint()
+    # Convergence witness: labels only ever DECREASE, so the label sum
+    # is strictly monotone until fixpoint — one cheap aggregate per
+    # round instead of a join-and-compare against the previous round.
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -232,19 +236,17 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("u")
             .agg(F.min("vlbl").alias("nlbl"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr, "u", "left")
             .select("u", F.least(
                 F.col("lbl"),
                 F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
             .localCheckpoint()
         )
-        changed = new_labels.alias("n").join(
-            labels.alias("o"), "u").where(
-            F.col("n.lbl") != F.col("o.lbl")).count()
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
 
