@@ -131,18 +131,37 @@ def base64_encode(data: bytes, wrap_lines: bool = False) -> str:
         for i in range(0, len(data), 57))
 
 
-_B64_JUNK_RE = _re.compile(r"[^A-Za-z0-9+/=]")
+_B64_ALPHABET = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/")
+_B64_VAL = {c: i for i, c in enumerate(_B64_ALPHABET)}
 
 
 def base64_decode(s: str) -> bytes:
     """Decode base64, skipping junk characters (serd_base64_decode,
-    src/base64.c:96-125, tolerant mode: anything outside the alphabet
-    is ignored; a trailing partial chunk of one character is
-    dropped)."""
-    filtered = _B64_JUNK_RE.sub("", s).rstrip("=")
-    if len(filtered) % 4 == 1:
-        filtered = filtered[:-1]
-    return _b64.b64decode(filtered + "=" * (-len(filtered) % 4))
+    src/base64.c:96-125, tolerant mode): anything outside the alphabet
+    is ignored; '=' IS part of the alphabet and terminates output
+    within its 4-char chunk, so an interior '=' (e.g. ``'TW=Fu'``)
+    decodes the chunk prefix and decoding continues with the next
+    chunk — never an exception.  A chunk holding fewer than two real
+    characters is dropped (the reference's ``n_in > 1`` gate).
+
+    Deliberate divergence: a degenerate '=' in chunk position 0/1
+    contributes 0 bits here, where the reference emits an
+    uninitialized-table garbage byte — both are garbage-in paths."""
+    chars = [c for c in s if c in _B64_VAL or c == "="]
+    out = bytearray()
+    for i in range(0, len(chars), 4):
+        chunk = chars[i:i + 4]
+        if len(chunk) < 2:
+            break  # lone trailing character: dropped
+        chunk += ["="] * (4 - len(chunk))
+        v = [_B64_VAL.get(c, 0) for c in chunk]
+        out.append(((v[0] << 2) | (v[1] >> 4)) & 0xFF)
+        if chunk[2] != "=":
+            out.append(((v[1] << 4) | (v[2] >> 2)) & 0xFF)
+            if chunk[3] != "=":
+                out.append(((v[2] << 6) | v[3]) & 0xFF)
+    return bytes(out)
 
 
 def node_new_blob(data: bytes, wrap_lines: bool = False) -> Node:

@@ -224,10 +224,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                      F.col("doc_a").alias("v"))).localCheckpoint()
     labels = edges.select("u").distinct() \
         .withColumn("lbl", F.col("u")).localCheckpoint()
-    # Convergence witness: labels only ever DECREASE, so the label sum
-    # is strictly monotone until fixpoint — one cheap aggregate per
-    # round instead of a join-and-compare against the previous round.
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    # Convergence witness: count of labels that CHANGED this round.
+    # (A sum-of-labels witness is cheaper on paper but silently breaks
+    # for non-numeric ids — F.sum over strings is NULL, so NULL==NULL
+    # "converges" after one round — and risks >2^53 precision ties for
+    # doubles.  The changed-count is type-agnostic: min-label
+    # propagation only needs an ordering, which least()/min() give any
+    # orderable type.)  Each round is one checkpointed materialization
+    # plus a cheap count over the already-checkpointed result.
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -238,15 +242,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         labels = (
             labels.join(nbr, "u", "left")
-            .select("u", F.least(
+            .select("u", F.col("lbl").alias("_prev"), F.least(
                 F.col("lbl"),
                 F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:
+        n_changed = labels.where(
+            F.col("lbl") != F.col("_prev")).count()
+        labels = labels.drop("_prev")
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
 

@@ -68,16 +68,26 @@ def asof_join(
     ``merge_asof(tolerance=...)``).  Output: all left columns plus
     ``<right_col><suffix>`` for each requested right column and
     ``<ts_col><suffix>`` (the matched right timestamp).
+
+    Matches are all-or-nothing per right row: the right columns ride
+    ONE struct filled with a single ``last(ignorenulls=True)``, so a
+    right row carrying NULL in some payload column still matches as a
+    whole — never a torn match mixing columns from different right
+    rows (which per-column fills would produce, diverging from
+    merge_asof/ASOF JOIN semantics).
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
     out_rcols = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
+    r_struct_type = StructType(
+        [StructField(f"{c}{suffix}", right.schema[c].dataType)
+         for c in right_cols]
+        + [StructField(f"{ts_col}{suffix}", right.schema[ts_col].dataType)])
 
     l_tag = left.select(
         *lcols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in right_cols],
-        F.lit(None).cast(right.schema[ts_col].dataType)
-        .alias(f"{ts_col}{suffix}"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
         F.lit(1).alias("_side"),
     )
     r_tag = right.select(
@@ -85,11 +95,12 @@ def asof_join(
         F.col(ts_col),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in (by, ts_col)],
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+            F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        ).alias("_r"),
         F.lit(0).alias("_side"),
-    ).select(*lcols, *[f"{c}{suffix}" for c in right_cols],
-             f"{ts_col}{suffix}", "_side")
+    ).select(*lcols, "_r", "_side")
 
     unioned = l_tag.unionByName(r_tag)
     w = Window.partitionBy(by) \
@@ -97,10 +108,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     filled = unioned.select(
         *lcols, "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c)
-          for c in out_rcols],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    res = filled.where(F.col("_side") == 1).drop("_side")
+    res = (
+        filled.where(F.col("_side") == 1)
+        .select(*lcols,
+                *[F.col("_r")[c].alias(c) for c in out_rcols])
+    )
     if tolerance_sec is not None:
         # NTZ timestamps need the two-step cast to epoch seconds
         age = (F.col(ts_col).cast("timestamp").cast("double")

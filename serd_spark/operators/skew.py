@@ -34,7 +34,20 @@ def salted_join(
     ``monotonically_increasing_id`` — both break exactly-once).
     Identical duplicate rows share a salt (harmless: distribution is
     what matters, not uniqueness).
+
+    ``how`` is restricted to the variants that are semantics-preserving
+    under build-side replication: inner / left / left_semi / left_anti.
+    Right/full outer joins would emit each unmatched ``other`` row once
+    PER SALT (n_salts duplicates) — raise instead of silently
+    duplicating output.
     """
+    allowed = {"inner", "left", "leftouter", "leftsemi", "semi",
+               "leftanti", "anti"}
+    if how.lower().replace("_", "") not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — the replicated "
+            "build side duplicates unmatched other-rows under "
+            "right/full outer joins; use inner/left/left_semi/left_anti")
     if salt_from is None:
         salt_from = F.xxhash64(*[F.col(c) for c in skewed.columns])
     s = skewed.withColumn(

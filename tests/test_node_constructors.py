@@ -85,3 +85,16 @@ class TestBlob:
     def test_decode_drops_lone_trailing_char(self):
         # a trailing 1-char partial chunk carries no full byte
         assert base64_decode("aGVsbG8=a") == b"hello"
+
+    def test_decode_interior_padding_char(self):
+        # reference parity (serd_base64_decode, src/base64.c:96-125):
+        # '=' is alphabet, terminates its chunk's output, decoding
+        # continues with the next chunk — never an exception
+        assert base64_decode("TW=Fu") == b"M"   # chunk TW=F -> 'M'
+        assert base64_decode("TWFu") == b"Man"
+        # chunks group positionally: TW== -> 'M', then Fu== -> 1 byte
+        assert base64_decode("TW==Fu") == b"M\x16"
+        # never raises on '=' anywhere (the round-2 bug was an
+        # exception from interior '=')
+        for junk in ("=", "====", "=a=b=c", "a=b=c=d="):
+            base64_decode(junk)

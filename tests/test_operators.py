@@ -729,3 +729,58 @@ def test_session_window_matches_gaps_and_islands(spark):
     a = {tuple(r) for r in ours.collect()}
     b = {tuple(r) for r in native.collect()}
     assert a == b and a
+
+
+def test_dup_clusters_string_ids(spark):
+    """Convergence witness must work for NON-numeric ids: a chain of
+    string doc ids (diameter 4) needs several propagation rounds — a
+    sum-based witness would see NULL==NULL and stop after one."""
+    from serd_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+         ("x", "y")],
+        "doc_a string, doc_b string")
+    got = {(r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+                   ("e", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_asof_join_null_payload_not_torn(spark):
+    """A matched right row carrying NULL in one payload column must
+    match as a WHOLE row (merge_asof semantics): the NULL rides along,
+    never back-filled from an older right row (torn match)."""
+    from datetime import datetime as DT
+
+    from serd_spark.operators.sessions import asof_join
+
+    left = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 10, 5), 100)],
+        "event_id long, ts timestamp, user_id long")
+    right = spark.createDataFrame(
+        [(50, DT(2024, 1, 1, 10, 0), 100, 1.0),
+         (51, DT(2024, 1, 1, 10, 2), 100, None)],  # latest, NULL value
+        "event_id long, ts timestamp, user_id long, value double")
+    r = asof_join(left, right.select("user_id", "ts", "event_id", "value"),
+                  by="user_id", ts_col="ts",
+                  right_cols=("event_id", "value")).collect()[0]
+    assert r.event_id_r == 51
+    assert r.value_r is None  # NOT 1.0 from row 50
+
+
+def test_salted_join_rejects_outer_hows(spark):
+    """Right/full outer joins would duplicate unmatched other-rows
+    once per salt — salted_join must refuse them."""
+    import pytest as _pytest
+
+    from serd_spark.operators.skew import salted_join
+
+    left = spark.range(4).withColumnRenamed("id", "k")
+    right = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, "k", n_salts=4, how=how)
+    # semi/anti still work and match the plain join
+    semi = salted_join(left.where("k < 2"), right, "k",
+                       n_salts=4, how="left_semi").count()
+    assert semi == 2
