@@ -380,12 +380,13 @@ def _o_vocab_topk(_: str) -> str:
 
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing: language-stratified deterministic hash sampling
-    over langid predictions (downsample en, keep others)."""
-    from serd_spark.operators.text import lang_id, stratified_sample
+    over langid predictions (downsample en, keep others).  lang_pred
+    is composed inline (lang_pred_col) — one corpus scan, no doc_id
+    join."""
+    from serd_spark.operators.text import lang_pred_col, stratified_sample
 
     docs = _t(spark, sf_dir, "documents")
-    langs = lang_id(docs).select("doc_id", "lang_pred")
-    tagged = docs.join(langs, "doc_id")
+    tagged = docs.withColumn("lang_pred", lang_pred_col(F.col("text")))
     rates = {"en": 0.25, "de": 0.8, "fr": 0.8, "es": 0.8, "und": 0.05}
     out = stratified_sample(tagged, rates, strata_col="lang_pred",
                             key_col="doc_id")
@@ -541,10 +542,10 @@ def _o_pii_scrub(_: str) -> str:
 
 def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.dedup import exact_dedup_keep_best
-    from serd_spark.operators.text import quality_features
 
-    docs = _t(spark, sf_dir, "documents")
-    return exact_dedup_keep_best(docs, quality_features(docs))
+    # fused path: hash + quality score in one projection, one scan,
+    # one shuffle (the window) — no doc_id join
+    return exact_dedup_keep_best(_t(spark, sf_dir, "documents"))
 
 
 def _o_dedup_keep_best(_: str) -> str:

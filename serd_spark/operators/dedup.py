@@ -365,19 +365,34 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 
 def exact_dedup_keep_best(
-    docs: DataFrame, score: DataFrame, text_col: str = "text",
+    docs: DataFrame, score: DataFrame | None = None,
+    text_col: str = "text",
 ) -> DataFrame:
     """Exact dedup that keeps the BEST duplicate, not an arbitrary
     one: within each content-hash group the representative maximizes
     ``quality_score`` (ties broken by min doc_id) — what a real
     training pipeline does when duplicates differ in metadata.
-    ``score`` is (doc_id, quality_score), e.g. from
-    ``text.quality_features``.  One shuffle (window over the hash)."""
-    h = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                    F.md5(F.col(text_col)).alias("content_hash"))
-    joined = h.join(score.select(F.col("doc_id").cast("long")
-                                 .alias("doc_id"), "quality_score"),
-                    "doc_id")
+
+    ``score=None`` (the fused path): ``md5(text)`` and the quality
+    score are computed in ONE projection on the same scan — one
+    shuffle total (the window over the hash), no doc_id join.  Pass a
+    ``score`` DataFrame (doc_id, quality_score) only when scores come
+    from elsewhere (a model, an earlier checkpoint); that path costs
+    an extra scan + doc_id join and exists for exactly that case."""
+    if score is None:
+        from .text import quality_score_col
+
+        joined = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5(F.col(text_col)).alias("content_hash"),
+            quality_score_col(F.col(text_col)).alias("quality_score"),
+        )
+    else:
+        h = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.md5(F.col(text_col)).alias("content_hash"))
+        joined = h.join(score.select(F.col("doc_id").cast("long")
+                                     .alias("doc_id"), "quality_score"),
+                        "doc_id")
     w = Window.partitionBy("content_hash").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc())
     return (

@@ -43,6 +43,29 @@ def bpe_token_count_col(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
 
 
+def quality_score_col(text: Column) -> Column:
+    """Combined quality score in [0,1] as a pure COLUMN expression —
+    compose it onto any scan with ``withColumn`` (zero joins, zero
+    extra scans).  ``quality_features`` is the DataFrame wrapper."""
+    n_chars = F.length(text)
+    n_tokens = token_count_col(text)
+    n_punct = F.regexp_count(text, F.lit(PUNCT_CLASS))
+    stop_hits = sum(
+        (F.regexp_count(F.lower(text),
+                        F.lit(r"\b" + w + r"\b")).cast("long")
+         for w in STOPWORDS_EN),
+        F.lit(0).cast("long"),
+    )
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6)
+    return F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * 0.4
+        + F.least(F.lit(1.0), stop_ratio * F.lit(4.0)) * 0.4
+        + F.when(punct_ratio < 0.1, F.lit(0.2)).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio quality features +
     a combined score in [0,1] (deterministic heuristic)."""
@@ -59,12 +82,6 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6)
     mean_tok_len = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6)
-    score = F.round(
-        F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * 0.4
-        + F.least(F.lit(1.0), stop_ratio * F.lit(4.0)) * 0.4
-        + F.when(punct_ratio < 0.1, F.lit(0.2)).otherwise(F.lit(0.0)),
-        6,
-    )
     return docs.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
@@ -73,36 +90,48 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),
         mean_tok_len.alias("mean_tok_len"),
-        score.alias("quality_score"),
+        quality_score_col(text).alias("quality_score"),
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-vote language ID: count word-boundary hits per
-    language, argmax with lexicographic tie-break."""
-    text = F.lower(F.col(text_col))
-    scores = {
+def _lang_scores(text: Column) -> dict:
+    lowered = F.lower(text)
+    return {
         lang: sum(
-            (F.regexp_count(text, F.lit(r"\b" + w + r"\b")).cast("long")
+            (F.regexp_count(lowered,
+                            F.lit(r"\b" + w + r"\b")).cast("long")
              for w in words),
             F.lit(0).cast("long"),
         )
         for lang, words in LANG_STOPWORDS.items()
     }
-    # argmax via greatest + chained when (deterministic tie-break:
-    # first language in sorted order wins ties)
+
+
+def lang_pred_col(text: Column) -> Column:
+    """Predicted language as a pure COLUMN expression (stopword-vote
+    argmax, lexicographic tie-break, 'und' on zero votes) — compose it
+    onto any scan with ``withColumn``; joining the ``lang_id``
+    DataFrame back to the corpus costs a full-corpus shuffle that this
+    avoids entirely."""
+    scores = _lang_scores(text)
     best = F.greatest(*scores.values())
     pred = F.lit("und")
     for lang in sorted(LANG_STOPWORDS, reverse=True):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    out = docs.select(
+    return F.when(best == 0, F.lit("und")).otherwise(pred)
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: count word-boundary hits per
+    language, argmax with lexicographic tie-break."""
+    text = F.col(text_col)
+    scores = _lang_scores(text)
+    return docs.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}")
           for lang in sorted(LANG_STOPWORDS)],
-        pred.alias("lang_pred"),
+        lang_pred_col(text).alias("lang_pred"),
     )
-    return out
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -180,32 +209,40 @@ def stratified_sample(
 def doc_length_profile(
     docs: DataFrame, text_col: str = "text",
     percentiles: tuple = (0.5, 0.9, 0.99),
+    approx: bool = False, approx_accuracy: int = 10000,
 ) -> DataFrame:
-    """Corpus length profile per language stratum: exact percentiles
-    (Spark ``percentile`` = linear interpolation, the same definition
-    as SQL ``quantile_cont``), mean, and extremes of char length and
-    whitespace token count.
+    """Corpus length profile per language stratum: percentiles, mean,
+    and extremes of char length and whitespace token count.
 
-    Exact percentiles need a per-group sort — the profiling pass you
-    run on a sample or accept one shuffle for; the streaming/huge-
-    corpus variant swaps in ``percentile_approx`` (t-digest sketch,
-    mergeable, no sort) at the cost of oracle exactness."""
-    langs = lang_id(docs).select("doc_id", "lang_pred")
+    ``lang_pred`` is composed inline via :func:`lang_pred_col` — one
+    scan of the corpus, one aggregation shuffle, no doc_id join (the
+    round-2 version joined ``lang_id(docs)`` back to ``docs``: two
+    scans plus a full-corpus shuffle hash join, all avoidable).
+
+    ``approx=False`` (default): exact percentiles (Spark
+    ``percentile`` = linear interpolation, the same definition as SQL
+    ``quantile_cont``) — needs a per-group sort; the oracle row.
+    ``approx=True``: ``percentile_approx`` (Greenwald-Khanna sketch,
+    mergeable, no per-group sort) — the huge-corpus/streaming shape;
+    error bounded by 1/approx_accuracy of the rank."""
     aggs = []
     for name in ("chars", "toks"):
         for p in percentiles:
-            aggs.append(
-                F.round(F.percentile(F.col(name), F.lit(p)), 6)
-                .alias(f"{name}_p{int(p * 100)}"))
+            if approx:
+                q = F.percentile_approx(
+                    F.col(name), F.lit(p), F.lit(approx_accuracy))
+            else:
+                q = F.percentile(F.col(name), F.lit(p))
+            aggs.append(F.round(q, 6).alias(f"{name}_p{int(p * 100)}"))
         aggs.append(F.round(F.avg(name), 6).alias(f"{name}_mean"))
         aggs.append(F.min(name).cast("long").alias(f"{name}_min"))
         aggs.append(F.max(name).cast("long").alias(f"{name}_max"))
+    text = F.col(text_col)
     return (
-        docs.join(langs, "doc_id")
-        .select("lang_pred",
-                F.length(F.col(text_col)).cast("double").alias("chars"),
-                token_count_col(F.col(text_col)).cast("double")
-                .alias("toks"))
+        docs.select(
+            lang_pred_col(text).alias("lang_pred"),
+            F.length(text).cast("double").alias("chars"),
+            token_count_col(text).cast("double").alias("toks"))
         .groupBy("lang_pred")
         .agg(F.count("*").cast("long").alias("n_docs"), *aggs)
     )

@@ -784,3 +784,72 @@ def test_salted_join_rejects_outer_hows(spark):
     semi = salted_join(left.where("k < 2"), right, "k",
                        n_salts=4, how="left_semi").count()
     assert semi == 2
+
+
+def test_fused_queries_single_scan_no_join(spark):
+    """doc_length_profile, the stratified-sample contract query, and
+    the fused exact_dedup_keep_best must compose lang_pred/quality as
+    column expressions on ONE corpus scan — no doc_id self-join (the
+    round-2 shape scanned documents twice and shuffled the full corpus
+    through a hash join per query)."""
+    import __spark_entry__ as E
+    from serd_spark.operators.dedup import exact_dedup_keep_best
+    from serd_spark.operators.text import doc_length_profile
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (
+        doc_length_profile(docs),
+        exact_dedup_keep_best(docs),
+        E.queries()["stratified_sample"](spark, "/root/testdata/sf0.001"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the broadcast join with the tiny rate dim is the designed
+        # shape for stratified_sample; what must be gone is any
+        # shuffle join of the corpus with itself
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        assert plan.count("documents.parquet") <= 1, plan
+        assert df.count() >= 0
+
+
+def test_keep_best_external_score_path_matches_fused(spark):
+    """The two-DataFrame signature (scores from elsewhere) must agree
+    with the fused single-scan path when the scores are the same."""
+    from serd_spark.operators.dedup import exact_dedup_keep_best
+    from serd_spark.operators.text import quality_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fused = {tuple(r) for r in exact_dedup_keep_best(docs).collect()}
+    ext = {tuple(r) for r in
+           exact_dedup_keep_best(docs, quality_features(docs)).collect()}
+    assert fused == ext and fused
+
+
+def test_doc_profile_approx_bounds_exact(spark):
+    """percentile_approx (sketch mode) must stay within the
+    Greenwald-Khanna rank-error bound of the exact profile: with
+    accuracy A, the returned value's rank is within n/A of the target
+    rank — at A=10000 and sf0.001 (500 docs) that is exact-or-adjacent
+    order statistics, so values differ by at most one doc's length."""
+    from serd_spark.operators.text import doc_length_profile
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {r.lang_pred: r.asDict() for r in
+             doc_length_profile(docs).collect()}
+    approx = {r.lang_pred: r.asDict() for r in
+              doc_length_profile(docs, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for lang, ex in exact.items():
+        ap = approx[lang]
+        assert ex["n_docs"] == ap["n_docs"]
+        assert ex["chars_min"] == ap["chars_min"]
+        assert ex["chars_max"] == ap["chars_max"]
+        assert ex["chars_mean"] == ap["chars_mean"]
+        for name in ("chars", "toks"):
+            for p in (50, 90, 99):
+                e, a = ex[f"{name}_p{p}"], ap[f"{name}_p{p}"]
+                # GK returns a real order statistic; exact percentile
+                # interpolates between two — allow the span between
+                # the neighboring order statistics (here: 15% rel.)
+                assert abs(a - e) <= max(0.15 * abs(e), 2.0), (
+                    lang, name, p, e, a)
