@@ -979,6 +979,83 @@ def _o_sessionize(_: str) -> str:
     """
 
 
+def _q_kg_parse_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG pipeline plumbing with an EXACT oracle: the same chunked
+    skew-split parse → quarantine → conv_metrics path as
+    kg_parse_turtle, but over an NT-line corpus derived from orders —
+    NT is line-splittable, so DuckDB can reconstruct the expected
+    per-conversation triple/error counts with pure string ops (the
+    Turtle-grammar twin keeps its rows-only check; this row
+    hash-gates the pipeline itself).  Every 37th order carries a
+    deliberately malformed line: the lax parser recovers at its
+    terminating '.', quarantining exactly one error row."""
+    from pyspark.sql import Window
+
+    from serd_spark.operators.canonicalize import conv_metrics
+    from serd_spark.operators.parse import (
+        parse_documents_chunked,
+        split_quarantine,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    bad = F.col("o_orderkey") % 37 == 0
+    tdf = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        .alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.concat(
+            F.lit("<urn:order:"), "o_orderkey",
+            F.lit("> <urn:schema:cust> <urn:cust:"), "o_custkey",
+            F.lit("> .\n"),
+            F.lit("<urn:order:"), "o_orderkey",
+            F.lit("> <urn:schema:status> \""), "o_orderstatus",
+            F.lit("\" ."),
+            F.when(bad, F.lit("\nnot a valid triple line ."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    triples, errors = split_quarantine(
+        parse_documents_chunked(tdf, chunk_turns=8))
+    m = conv_metrics(triples, errors)
+    return m.select(
+        "conv_id",
+        F.col("n_triples").cast("long").alias("n_triples"),
+        F.col("n_errors").cast("long").alias("n_errors"),
+    )
+
+
+def _o_kg_parse_nt(_: str) -> str:
+    # reconstruct the NT corpus in SQL, split lines, classify: in this
+    # corpus a line is a triple iff it opens with '<' (well-formed NT
+    # line), else it is the injected junk line -> one quarantined error
+    return """
+    WITH nt AS (
+        SELECT 'c' || o_custkey AS conv_id,
+               '<urn:order:' || o_orderkey
+               || '> <urn:schema:cust> <urn:cust:' || o_custkey
+               || '> .' || chr(10)
+               || '<urn:order:' || o_orderkey
+               || '> <urn:schema:status> "' || o_orderstatus || '" .'
+               || CASE WHEN o_orderkey % 37 = 0
+                       THEN chr(10) || 'not a valid triple line .'
+                       ELSE '' END AS text
+        FROM orders),
+    lines AS (
+        SELECT conv_id, unnest(string_split(text, chr(10))) AS line
+        FROM nt)
+    SELECT conv_id,
+           CAST(SUM(CASE WHEN line LIKE '<%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_triples,
+           CAST(SUM(CASE WHEN line NOT LIKE '<%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM lines GROUP BY conv_id
+    """
+
+
 def _q_kg_parse_turtle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Turtle KG pipeline on the synthetic transcript corpus:
     chunked skew-split parse → per-conv triple counts."""
@@ -1041,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,
+        "kg_parse_nt": _q_kg_parse_nt,
         "kg_parse_turtle": _q_kg_parse_turtle,
         "srp_ann": _q_srp_ann,
         "ivf_ann": _q_ivf_ann,
@@ -1078,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _o_embedding_neardup(sf),
         "sessionize": _o_sessionize(sf),
         "asof_attrib": _o_asof_attrib(sf),
+        "kg_parse_nt": _o_kg_parse_nt(sf),
         # kg_parse_turtle, srp_ann, ivf_ann: non-SQL-expressible
         # (iterative / bucketed ANN; rows-only checks)
     }
