@@ -641,6 +641,13 @@ def _o_asof_attrib(_: str) -> str:
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recomputes LSH pairs inline ONLY for oracle isolation (each
+    contract query must be self-contained).  The round-2 pipeline
+    materializes minhash_lsh_pairs once via write_checkpoint and feeds
+    both ngram_jaccard and dup_clusters from read_checkpoint —
+    ``dup_clusters(pairs)`` takes the pair table as its argument for
+    exactly this reuse (test:
+    test_lsh_pairs_checkpoint_serves_both_consumers)."""
     from serd_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(

@@ -853,3 +853,49 @@ def test_doc_profile_approx_bounds_exact(spark):
                 # the neighboring order statistics (here: 15% rel.)
                 assert abs(a - e) <= max(0.15 * abs(e), 2.0), (
                     lang, name, p, e, a)
+
+
+def test_lsh_pairs_checkpoint_serves_both_consumers(spark, tmpdir_path):
+    """The round-2 pipeline shape: materialize minhash_lsh_pairs ONCE
+    via write_checkpoint; both downstream consumers (ngram_jaccard
+    verify, dup_clusters CC) read the checkpoint instead of re-running
+    LSH — their plans must scan the checkpoint parquet, not re-derive
+    from documents, and results must match the recompute path."""
+    import os
+
+    from serd_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_pairs,
+        ngram_jaccard,
+    )
+    from serd_spark.operators.materialize import (
+        read_checkpoint,
+        write_checkpoint,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, n_bands=4, shingle_k=3, max_bucket=64)
+    p = os.path.join(tmpdir_path, "lsh_pairs")
+    info = write_checkpoint(pairs, p, "lsh_pairs")
+    assert info["rows"] > 0
+
+    ck = read_checkpoint(spark, p)
+    # 1) one LSH computation serves both consumers: the consumers'
+    # scans are the checkpoint files only (documents appears once, for
+    # the shingle sets ngram_jaccard genuinely needs)
+    jac = ngram_jaccard(docs, ck, shingle_k=3)
+    jac_plan = jac._jdf.queryExecution().executedPlan().toString()
+    assert "lsh_pairs" in jac_plan
+    # two column-pruned scans (one shingle-set per pair side) are the
+    # designed shape; what must NOT appear is the LSH banding rebuild
+    # (no exploded-shingle aggregation in this plan)
+    assert jac_plan.count("documents.parquet") == 2, jac_plan
+    assert "minhash" not in jac_plan, jac_plan
+
+    cc = dup_clusters(ck)
+    # 2) results identical to the recompute path
+    jac2 = ngram_jaccard(docs, pairs, shingle_k=3)
+    assert ({tuple(r) for r in jac.collect()}
+            == {tuple(r) for r in jac2.collect()})
+    assert ({tuple(r) for r in cc.collect()}
+            == {tuple(r) for r in dup_clusters(pairs).collect()})
