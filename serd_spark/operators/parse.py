@@ -359,8 +359,15 @@ def parse_documents_colocated(
         ("err", pa.string()),
     ])
 
-    def to_batch(rows: list[tuple]):
-        cols = list(zip(*rows))
+    def new_cols() -> list[list]:
+        # conv_id, stmt_idx, g, s, s_type, p, o, o_type, o_datatype,
+        # o_lang, err — one list per output field (columnar end to
+        # end: TurtleParser(collect_columns=True) emits the middle 8
+        # directly, so no Triple NamedTuples, row tuples, or
+        # zip(*rows) transpose anywhere on the hot path)
+        return [[] for _ in range(11)]
+
+    def to_batch(cols: list[list]):
         return pa.RecordBatch.from_arrays(
             [pa.array(c, type=f.type) for c, f in zip(cols, pa_schema)],
             schema=pa_schema)
@@ -369,7 +376,8 @@ def parse_documents_colocated(
         cur_conv: Optional[str] = None
         cur_texts: list[tuple] = []
 
-        def flush_conv(conv_id: str, turns: list[tuple]) -> list[tuple]:
+        def flush_conv(conv_id: str, turns: list[tuple],
+                       out: list[list]) -> None:
             base = base_template.format(conv_id=conv_id)
             # chunk by absolute turn_idx (identical cut points to
             # assemble_chunks, so ids match the distributed path)
@@ -377,7 +385,6 @@ def parse_documents_colocated(
             for turn_idx, text in turns:
                 by_chunk.setdefault(int(turn_idx) // chunk_turns,
                                     []).append((int(turn_idx), text))
-            rows: list[tuple] = []
             env: Optional[Env] = None
             for chunk_idx in sorted(by_chunk):
                 chunk = by_chunk[chunk_idx]
@@ -391,42 +398,44 @@ def parse_documents_colocated(
                     lax=lax,
                     init_prefixes=env.prefixes if env else None,
                     blank_offset=chunk_idx << 32,
+                    collect_columns=True,
                 )
-                triples, errors = parser.parse()
+                parser.parse()
                 env = parser.env  # sequential Env carry to next chunk
                 stmt_offset = chunk_idx << 40
-                rows.extend(
-                    (conv_id, stmt_offset + i, t.g, t.s, t.s_type, t.p,
-                     t.o, t.o_type, t.o_datatype, t.o_lang, None)
-                    for i, t in enumerate(triples)
-                )
-                n_t = len(triples)
-                rows.extend(
-                    (conv_id, stmt_offset + n_t + j, None, None, None,
-                     None, None, None, None, None,
-                     _format_err(pos, msg, text, turn_lens))
-                    for j, (pos, msg) in enumerate(errors)
-                )
-            return rows
+                tcols, errors = parser.cols, parser.errors
+                n_t = len(tcols[0])
+                n_e = len(errors)
+                out[0].extend([conv_id] * (n_t + n_e))
+                out[1].extend(range(stmt_offset, stmt_offset + n_t + n_e))
+                for oc, tc in zip(out[2:10], tcols):
+                    oc.extend(tc)
+                    if n_e:
+                        oc.extend([None] * n_e)
+                out[10].extend([None] * n_t)
+                out[10].extend(
+                    _format_err(pos, msg, text, turn_lens)
+                    for pos, msg in errors)
 
         for rb in batches:
             idx = rb.schema.get_field_index
             convs = rb.column(idx("conv_id")).to_pylist()
             turns = rb.column(idx("turn_idx")).to_pylist()
             texts = rb.column(idx("text")).to_pylist()
-            out: list[tuple] = []
+            out = new_cols()
             for conv_id, turn_idx, text in zip(convs, turns, texts):
                 if conv_id != cur_conv:
                     if cur_conv is not None:
-                        out.extend(flush_conv(cur_conv, cur_texts))
+                        flush_conv(cur_conv, cur_texts, out)
                     cur_conv, cur_texts = conv_id, []
                 cur_texts.append((turn_idx, text))
-            if out:
+            if out[0]:
                 yield to_batch(out)
         if cur_conv is not None:
-            rows = flush_conv(cur_conv, cur_texts)
-            if rows:
-                yield to_batch(rows)
+            out = new_cols()
+            flush_conv(cur_conv, cur_texts, out)
+            if out[0]:
+                yield to_batch(out)
 
     return src.mapInArrow(parse_part, schema=PARSED_SCHEMA)
 

@@ -96,6 +96,7 @@ class TurtleParser:
         init_prefixes: Optional[dict[str, str]] = None,
         blank_offset: int = 0,
         scan_only: bool = False,
+        collect_columns: bool = False,
     ):
         """``init_prefixes``/``base_uri`` seed the Env (used by the
         chunked mega-conversation path, where earlier chunks' directive
@@ -109,6 +110,15 @@ class TurtleParser:
         tolerates unknown prefixes; it exists to extract the in-order
         directive patch list (``self.directives``) from a chunk without
         knowing the upstream Env yet.
+
+        ``collect_columns`` switches emission to eight parallel column
+        lists (``self.cols``: g, s, s_type, p, o, o_type, o_datatype,
+        o_lang) instead of ``Triple`` rows — the Arrow fast path:
+        downstream batch building goes straight to
+        ``pyarrow.array(list)`` with no per-triple NamedTuple, no row
+        tuple, and no transpose (measured ~12% end-to-end).
+        ``parse()`` then returns an EMPTY triples list; read
+        ``self.cols``.
         """
         # Strip a leading UTF-8 BOM (byte-source parity).
         if text.startswith("﻿"):
@@ -128,6 +138,8 @@ class TurtleParser:
         self.scan_only = scan_only
         self.graph: Optional[Node] = None
         self.triples: list[Triple] = []
+        self.cols: Optional[tuple[list, ...]] = (
+            tuple([] for _ in range(8)) if collect_columns else None)
         self.errors: list[tuple[int, str]] = []
         # In-order directive patch list: ('prefix', name, raw_uri) or
         # ('base', '', raw_uri); raw = before base-resolution so the
@@ -193,6 +205,17 @@ class TurtleParser:
                  else self.graph.value)
         else:
             g = self.default_graph
+        c = self.cols
+        if c is not None:
+            c[0].append(g)
+            c[1].append(s.value)
+            c[2].append(s.type)
+            c[3].append(p.value)
+            c[4].append(o.value)
+            c[5].append(o.type)
+            c[6].append(o.datatype)
+            c[7].append(o.lang)
+            return
         self.triples.append(
             Triple(g, s.value, s.type, p.value, o.value, o.type,
                    o.datatype, o.lang)
