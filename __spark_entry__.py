@@ -929,6 +929,69 @@ def _o_token_counts(_: str) -> str:
     """
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing >=1 3-shingle
+    with the (deterministic) eval subset.  Eval shingles broadcast —
+    map-side only, no corpus shuffle before the final doc_id agg."""
+    from serd_spark.operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_flags(train, eval_docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_hits")
+
+
+def _o_contamination(_: str) -> str:
+    return """
+    WITH sh AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3 THEN
+                list_transform(range(1, len(w)-1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+            ELSE [] END) AS shingle
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS w
+              FROM documents)),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+    SELECT CAST(tr.doc_id AS BIGINT) AS doc_id,
+           COUNT(*) AS n_hits
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY tr.doc_id
+    """
+
+
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing plan over the corpus (ctx 2048):
+    global token prefix sum via the distributed two-pass scheme, then
+    chunk ids — identical to the oracle's single SUM() OVER window."""
+    from serd_spark.operators.packing import concat_chunk_plan
+
+    return concat_chunk_plan(_t(spark, sf_dir, "documents"),
+                             ctx_len=2048)
+
+
+def _o_pack_chunks(_: str) -> str:
+    return """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tok
+        FROM documents),
+    c AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tok,
+           CAST(cum - n_tok AS BIGINT) AS tok_start,
+           CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT) AS chunk_first,
+           CAST(FLOOR((cum - 1) / 2048.0) AS BIGINT) AS chunk_last
+    FROM c
+    """
+
+
 # -- non-SQL-expressible ops (rows-only checks; gated by pytest suites) --
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1122,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_profile": _q_doc_profile,
         "repetition": _q_repetition,
         "pii_scrub": _q_pii_scrub,
+        "contamination": _q_contamination,
+        "pack_chunks": _q_pack_chunks,
         "embedding_neardup": _q_embedding_neardup,
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,
@@ -1160,6 +1225,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_profile": _o_doc_profile(sf),
         "repetition": _o_repetition(sf),
         "pii_scrub": _o_pii_scrub(sf),
+        "contamination": _o_contamination(sf),
+        "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),
         "sessionize": _o_sessionize(sf),
         "asof_attrib": _o_asof_attrib(sf),

@@ -39,7 +39,8 @@ HEADLINE = [
     "minhash_lsh", "dedup_clusters", "ngram_jaccard", "simhash",
     "cosine_topk",
     "quality", "langid", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "doc_profile", "repetition", "pii_scrub",
-    "embedding_neardup", "sessionize", "asof_attrib",
+    "contamination", "pack_chunks",
+    "embedding_neardup", "sessionize", "asof_attrib", "kg_parse_nt",
 ]
 
 

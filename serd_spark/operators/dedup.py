@@ -193,6 +193,36 @@ def ngram_jaccard(
     ).where(F.col("n_inter") > 0)  # match the intersect-join form
 
 
+def contamination_flags(
+    train: DataFrame, eval_docs: DataFrame, text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥1
+    k-word shingle with ANY document in the (small) eval/benchmark
+    set — the overlap filter every serious training pipeline runs
+    before training (n-gram contamination, à la GPT-3 appendix C /
+    FineWeb decontamination).
+
+    Shape for 100 TB: the eval set is tiny by construction (benchmarks
+    are thousands of docs), so its DISTINCT shingles broadcast; the
+    corpus is scanned once, exploded to shingles, and inner-broadcast-
+    joined — no shuffle of the corpus, map-side only, then one
+    aggregation keyed by doc_id.  Output: (doc_id, n_hits) for
+    CONTAMINATED train docs only (n_hits = distinct overlapping
+    shingles); anti-join the result to drop them."""
+    ev = (
+        shingle_arrays(eval_docs, text_col, shingle_k)
+        .select(F.explode("sh").alias("shingle")).distinct()
+    )
+    tr = shingle_arrays(train, text_col, shingle_k).select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("shingle"))
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Near-duplicate *clusters* from candidate pairs: connected
     components of the undirected pair graph, labeled by the minimum

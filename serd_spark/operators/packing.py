@@ -1,0 +1,93 @@
+"""Sequence packing for training-data pipelines: the concat-and-chunk
+plan (concatenate all documents' tokens in a deterministic order, cut
+at context-window boundaries, let documents straddle cuts — the
+standard pretraining packing scheme, cf. the GPT/T5 data pipelines).
+
+The core primitive is a GLOBAL prefix sum over a deterministic
+ordering.  A naive window (``Window.orderBy(...)`` with no partition
+key) collapses to a single task at scale; this implementation uses
+the classic two-pass distributed prefix sum instead:
+
+1. range-partition by the order key; within each partition (rows are
+   contiguous key ranges) a local running sum — parallel, one pass;
+2. per-partition totals (a tiny aggregate, one row per partition) are
+   offset-summed on the driver and broadcast back; the global cumsum
+   is ``local_cum + offset[partition]``.
+
+The result is identical to the single-window formulation (the oracle
+uses plain ``SUM() OVER (ORDER BY ...)``) but every stage is
+parallel, so it survives a 1000-executor corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def global_cumsum(
+    df: DataFrame, value_col: str, order_col: str,
+    n_partitions: int | None = None, out: str = "cum",
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` in ``order_col``
+    order (inclusive of the current row), distributed via the two-pass
+    partition-offset scheme above."""
+    n_parts = n_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")
+    d = df.repartitionByRange(int(n_parts), F.col(order_col)) \
+        .withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(order_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # localCheckpoint: the local-cumsum table feeds BOTH the offset
+    # aggregate and the final join; without materialization a
+    # recompute could re-draw repartitionByRange's sampled boundaries
+    # and mismatch the offsets.  (order_col must be unique — ties make
+    # the within-partition running order nondeterministic.)
+    local = d.withColumn("_lcum", F.sum(value_col).over(w)) \
+        .localCheckpoint()
+    # one row per partition: cheap driver-side offset fold
+    totals = sorted(
+        local.groupBy("_pid").agg(F.max("_lcum").alias("t")).collect(),
+        key=lambda r: r._pid)
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r._pid] = acc
+        acc += r.t or 0
+    spark = df.sparkSession
+    off_tbl = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "_pid int, _off long")
+    return (
+        local.join(F.broadcast(off_tbl), "_pid")
+        .withColumn(out, (F.col("_lcum") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lcum", "_off")
+    )
+
+
+def concat_chunk_plan(
+    docs: DataFrame, ctx_len: int = 2048, text_col: str = "text",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Packing plan: for each document (in ``order_col`` order), where
+    its tokens land in the concatenated token stream cut into
+    ``ctx_len``-token chunks.  Documents may straddle chunk
+    boundaries (they are split at training time — no padding waste).
+
+    Output: (doc_id, n_tok, tok_start, chunk_first, chunk_last).
+    ``tok_start`` = global offset of the doc's first token;
+    ``chunk_first/chunk_last`` = ids of the context windows touched.
+    """
+    toks = docs.select(
+        F.col(order_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long").alias("n_tok"),
+    )
+    c = global_cumsum(toks, "n_tok", order_col)
+    start = F.col("cum") - F.col("n_tok")
+    return c.select(
+        F.col(order_col).cast("long").alias("doc_id"),
+        "n_tok",
+        start.cast("long").alias("tok_start"),
+        F.floor(start / F.lit(ctx_len)).cast("long").alias("chunk_first"),
+        F.floor((F.col("cum") - 1) / F.lit(ctx_len)).cast("long")
+        .alias("chunk_last"),
+    )

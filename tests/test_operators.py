@@ -899,3 +899,57 @@ def test_lsh_pairs_checkpoint_serves_both_consumers(spark, tmpdir_path):
             == {tuple(r) for r in jac2.collect()})
     assert ({tuple(r) for r in cc.collect()}
             == {tuple(r) for r in dup_clusters(pairs).collect()})
+
+
+def test_concat_chunk_plan_straddles_boundaries(spark):
+    """Packing: docs straddle chunk cuts; global prefix sum via the
+    two-pass partition-offset scheme must equal the single-window
+    definition exactly."""
+    from serd_spark.operators.packing import concat_chunk_plan
+
+    # token counts 3,4,2,5 with ctx=4:
+    # starts 0,3,7,9; ends 2,6,8,13
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i"), (4, "j k l m n")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.tok_start, r.chunk_first, r.chunk_last)
+           for r in concat_chunk_plan(docs, ctx_len=4).collect()}
+    assert got == {1: (0, 0, 0),
+                   2: (3, 0, 1),   # straddles chunks 0-1
+                   3: (7, 1, 2),   # straddles 1-2
+                   4: (9, 2, 3)}   # straddles 2-3
+
+
+def test_global_cumsum_matches_window(spark):
+    """Distributed prefix sum == plain global window on a corpus big
+    enough to span many range partitions."""
+    from pyspark.sql import Window
+
+    from serd_spark.operators.packing import global_cumsum
+
+    df = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("v"))
+    got = {r.k: r.cum for r in
+           global_cumsum(df, "v", "k", n_partitions=16).collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.cum for r in
+            df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_contamination_flags_basic(spark):
+    """Train docs sharing a 3-shingle with the eval set are flagged
+    with the distinct-shingle hit count; clean docs are absent."""
+    from serd_spark.operators.dedup import contamination_flags
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "xx the quick brown fox yy"),   # 2 overlapping shingles
+         (2, "totally unrelated content here"),
+         (3, "quick brown fox jumps over")],  # 2 overlapping shingles
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_hits for r in
+           contamination_flags(train, eval_docs).collect()}
+    assert got == {1: 2, 3: 2}
