@@ -1049,6 +1049,74 @@ def _o_sessionize(_: str) -> str:
     """
 
 
+def _q_kg_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star KG stages end to end: mention detection (token
+    n-grams vs a broadcast alias dictionary, incl. 2-gram aliases like
+    'middle east' / 'united states') → entity-link scoring (context
+    keywords disambiguate the deliberately-ambiguous nation-vs-person
+    aliases) → (s, p, o) emission.  Turn texts and the dictionary are
+    derived from customer⋈nation⋈region, so the oracle knows the
+    ground-truth links by construction; the matching semantics
+    themselves are unit-gated in tests/test_kg_stages.py."""
+    from serd_spark.operators.kg import kg_entity_link_pipeline
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    turns = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, F.col("n_regionkey") == region.r_regionkey)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+            .alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.concat(F.lit("customer "), "c_name",
+                     F.lit(" of nation "), "n_name",
+                     F.lit(" in region "), "r_name").alias("text"),
+        )
+    )
+    entities = (
+        nation.select(
+            F.col("n_nationkey").cast("long").alias("entity_id"),
+            F.concat(F.lit("urn:kg:nation:"), "n_nationkey").alias("iri"),
+            F.lower("n_name").alias("alias"),
+            F.array(F.lit("nation")).alias("ctx"))
+        .unionByName(nation.select(
+            (F.col("n_nationkey") + 100).cast("long").alias("entity_id"),
+            F.concat(F.lit("urn:kg:person:"), "n_nationkey").alias("iri"),
+            F.lower("n_name").alias("alias"),
+            F.array(F.lit("person")).alias("ctx")))
+        .unionByName(region.select(
+            (F.col("r_regionkey") + 200).cast("long").alias("entity_id"),
+            F.concat(F.lit("urn:kg:region:"), "r_regionkey").alias("iri"),
+            F.lower("r_name").alias("alias"),
+            F.array(F.lit("region")).alias("ctx")))
+    )
+    return kg_entity_link_pipeline(turns, entities)
+
+
+def _o_kg_entity_link(_: str) -> str:
+    # ground truth by construction: every turn mentions exactly its
+    # nation (context 'nation' beats the person homonym) and its
+    # region; UNION = the pipeline's distinct
+    return """
+    WITH t AS (
+        SELECT c_custkey, n_nationkey, r_regionkey
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey)
+    SELECT 'urn:conv:c' || c_custkey || ':turn:0' AS s,
+           'urn:kg:mentions' AS p,
+           'urn:kg:nation:' || n_nationkey AS o
+    FROM t
+    UNION
+    SELECT 'urn:conv:c' || c_custkey || ':turn:0',
+           'urn:kg:mentions',
+           'urn:kg:region:' || r_regionkey
+    FROM t
+    """
+
+
 def _q_kg_parse_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG pipeline plumbing with an EXACT oracle: the same chunked
     skew-split parse → quarantine → conv_metrics path as
@@ -1190,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,
+        "kg_entity_link": _q_kg_entity_link,
         "kg_parse_nt": _q_kg_parse_nt,
         "kg_parse_turtle": _q_kg_parse_turtle,
         "srp_ann": _q_srp_ann,
@@ -1230,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _o_embedding_neardup(sf),
         "sessionize": _o_sessionize(sf),
         "asof_attrib": _o_asof_attrib(sf),
+        "kg_entity_link": _o_kg_entity_link(sf),
         "kg_parse_nt": _o_kg_parse_nt(sf),
         # kg_parse_turtle, srp_ann, ivf_ann: non-SQL-expressible
         # (iterative / bucketed ANN; rows-only checks)

@@ -41,6 +41,7 @@ HEADLINE = [
     "quality", "langid", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "doc_profile", "repetition", "pii_scrub",
     "contamination", "pack_chunks",
     "embedding_neardup", "sessionize", "asof_attrib", "kg_parse_nt",
+    "kg_entity_link",
 ]
 
 

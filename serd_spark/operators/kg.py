@@ -1,0 +1,157 @@
+"""Transcript KG-construction stages (SURVEY §7 item 4, the
+north-star specifics): mention detection and entity-link scoring over
+turn text, then mention→(s, p, o) triple emission.
+
+Model-free and deterministic by design (tests must be stable): the
+entity dictionary is an explicit table, mention detection is exact
+token-n-gram matching, and the link scorer combines context-keyword
+overlap with alias specificity — every stage is a JVM column
+expression or broadcast join with an exact SQL mirror.
+
+Scale shape (100 TB corpus, dictionary ≤ millions of aliases):
+
+- the corpus is scanned ONCE and exploded to positional token n-grams
+  (the same slice+zip_with shingle construction as the dedup
+  operators — no per-element re-evaluation);
+- the dictionary broadcasts; the detect join is map-side, no corpus
+  shuffle (for dictionaries too big to broadcast, the same plan
+  shuffle-joins on the gram — one shuffle keyed by text content,
+  still never a cartesian);
+- link scoring is a window over (mention), candidates bounded by the
+  per-alias ambiguity (small by construction of real dictionaries);
+- triple emission is a projection.
+
+Dictionary schema: ``(entity_id: long, iri: string, alias: string,
+ctx: array<string>)`` — ``alias`` is a lowercase 1..max_gram-word
+phrase; ``ctx`` holds lowercase context keywords used to disambiguate
+entities sharing an alias.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import _shingles_from_tokens
+
+MENTIONS_PRED = "urn:kg:mentions"
+
+
+def _gram_positions(toks, k: int):
+    """array of (pos, gram) structs for k-grams of a token array."""
+    grams = _shingles_from_tokens(toks, k) if k > 1 else toks
+    return F.zip_with(
+        F.sequence(F.lit(0), F.greatest(F.size(grams) - 1, F.lit(0))),
+        grams,
+        lambda i, g: F.struct(i.alias("pos"), g.alias("gram")),
+    )
+
+
+def detect_mentions(
+    turns: DataFrame, entities: DataFrame, text_col: str = "text",
+    max_gram: int = 2, broadcast_dict: bool = True,
+    key_cols: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Mention candidates: every (turn, token position, n-gram) whose
+    lowercase n-gram equals a dictionary alias, joined to ALL entities
+    carrying that alias (ambiguity resolved by ``link_entities``).
+
+    Output: key_cols + (pos, n_gram, alias, entity_id, iri, ctx,
+    toks) — ``toks`` (the turn's token array) rides along for the
+    scorer's context overlap, avoiding a rejoin to the corpus."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = turns.select(*key_cols, toks.alias("_toks"))
+
+    def tag(k: int):
+        # NB: a 2-parameter lambda would make F.transform pass the
+        # ARRAY INDEX as the second argument, clobbering a `_k=k`
+        # default — close over k with a factory instead.
+        return lambda s: F.struct(
+            s["pos"].alias("pos"),
+            F.lit(k).alias("n_gram"),
+            s["gram"].alias("gram"))
+
+    grams = base.select(
+        *key_cols, "_toks",
+        F.explode(F.flatten(F.array(*[
+            F.transform(_gram_positions(F.col("_toks"), k), tag(k))
+            for k in range(1, max_gram + 1)
+        ]))).alias("m"),
+    ).select(*key_cols, "_toks", "m.pos", "m.n_gram",
+             F.col("m.gram").alias("alias"))
+    dict_df = entities.select("entity_id", "iri", "alias", "ctx")
+    if broadcast_dict:
+        dict_df = F.broadcast(dict_df)
+    return grams.join(dict_df, "alias").select(
+        *key_cols, "pos", "n_gram", "alias", "entity_id", "iri", "ctx",
+        F.col("_toks").alias("toks"))
+
+
+def link_entities(
+    mentions: DataFrame, key_cols: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Entity-link scoring: for each mention (turn + position +
+    alias), rank candidate entities by
+
+    ``score = ctx_hits + 1 / n_candidates``
+
+    — context-keyword overlap with the turn's tokens dominates;
+    alias specificity (unambiguous aliases score higher) breaks
+    context ties; entity_id breaks exact ties deterministically.
+    Longer grams win over shorter ones at the same position (the
+    standard longest-match rule), so a 2-gram mention suppresses the
+    1-gram mentions it covers."""
+    n_cand = F.count("*").over(
+        Window.partitionBy(*key_cols, "pos", "n_gram", "alias"))
+    scored = mentions.withColumn(
+        "score",
+        F.round(F.size(F.array_intersect("toks", "ctx"))
+                + 1.0 / n_cand, 6))
+    w = Window.partitionBy(*key_cols, "pos", "n_gram", "alias").orderBy(
+        F.col("score").desc(), F.col("entity_id").asc())
+    best = scored.withColumn("_rn", F.row_number().over(w)) \
+        .where(F.col("_rn") == 1).drop("_rn", "toks", "ctx")
+    # longest-match: drop a k-gram mention if a longer gram starting
+    # at any position covering it was linked (per turn, positions
+    # covered = [pos, pos + n_gram))
+    longer = best.where(F.col("n_gram") > 1).select(
+        *key_cols,
+        F.explode(F.sequence(
+            F.col("pos"), F.col("pos") + F.col("n_gram") - 1))
+        .alias("cover_pos"),
+        F.col("n_gram").alias("cover_len"),
+    )
+    keep = best.alias("b").join(
+        longer.alias("l"),
+        [F.col(f"b.{c}") == F.col(f"l.{c}") for c in key_cols]
+        + [F.col("b.pos") == F.col("l.cover_pos"),
+           F.col("b.n_gram") < F.col("l.cover_len")],
+        "left_anti",
+    )
+    return keep.select(*key_cols, "pos", "n_gram", "alias",
+                       "entity_id", "iri", "score")
+
+
+def mentions_to_triples(
+    linked: DataFrame, key_cols: tuple = ("conv_id", "turn_idx"),
+    pred: str = MENTIONS_PRED,
+) -> DataFrame:
+    """Triple emission: (turn IRI, kg:mentions, entity IRI) — the
+    mention→(s, p, o) fan-out reusing the O-15 explode shape; distinct
+    because an entity mentioned twice in a turn is one edge."""
+    conv, idx = key_cols
+    return linked.select(
+        F.concat(F.lit("urn:conv:"), F.col(conv),
+                 F.lit(":turn:"), F.col(idx).cast("string")).alias("s"),
+        F.lit(pred).alias("p"),
+        F.col("iri").alias("o"),
+    ).distinct()
+
+
+def kg_entity_link_pipeline(
+    turns: DataFrame, entities: DataFrame, text_col: str = "text",
+    max_gram: int = 2, key_cols: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """detect → link → emit, one corpus scan end to end."""
+    m = detect_mentions(turns, entities, text_col, max_gram,
+                        key_cols=key_cols)
+    return mentions_to_triples(link_entities(m, key_cols), key_cols)

@@ -1,0 +1,90 @@
+"""Mention detection + entity-link scoring + triple emission
+(SURVEY §7 item 4 — the transcript-KG north-star stages)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+def _entities(spark):
+    # 'paris' is ambiguous: the city (ctx anchors it to 'france')
+    # and the person (ctx 'hilton'); 'new york' is a 2-gram alias.
+    rows = [
+        (1, "urn:kg:city:paris", "paris", ["france", "seine"]),
+        (2, "urn:kg:person:paris-hilton", "paris", ["hilton"]),
+        (3, "urn:kg:city:nyc", "new york", ["usa"]),
+        (4, "urn:kg:state:ny", "york", ["state"]),
+    ]
+    return spark.createDataFrame(
+        rows, "entity_id long, iri string, alias string, "
+              "ctx array<string>")
+
+
+def _turns(spark):
+    rows = [
+        ("c1", 0, "paris is in france near the seine"),
+        ("c1", 1, "paris hilton arrived"),
+        ("c2", 0, "i moved to new york last year"),
+        ("c2", 1, "nothing to see here"),
+        ("c2", 2, "paris"),  # no context: specificity tie-break
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string")
+
+
+def test_detect_mentions_positions_and_candidates(spark):
+    from serd_spark.operators.kg import detect_mentions
+
+    m = detect_mentions(_turns(spark), _entities(spark)).collect()
+    by_turn = {}
+    for r in m:
+        by_turn.setdefault((r.conv_id, r.turn_idx), []).append(r)
+    # 'paris' at c1/0 pos 0 has TWO candidates (ambiguous alias)
+    cands = {r.entity_id for r in by_turn[("c1", 0)]}
+    assert cands == {1, 2}
+    # 'new york' detected as the 2-gram AND 'york' as a 1-gram
+    kinds = {(r.n_gram, r.alias) for r in by_turn[("c2", 0)]}
+    assert kinds == {(2, "new york"), (1, "york")}
+    assert ("c2", 1) not in by_turn
+
+
+def test_link_entities_context_specificity_and_longest_match(spark):
+    from serd_spark.operators.kg import detect_mentions, link_entities
+
+    m = detect_mentions(_turns(spark), _entities(spark))
+    linked = link_entities(m).collect()
+    got = {(r.conv_id, r.turn_idx): (r.entity_id, r.alias)
+           for r in linked}
+    # context disambiguates the shared alias
+    assert got[("c1", 0)][0] == 1       # 'france','seine' -> city
+    assert got[("c1", 1)][0] == 2       # 'hilton' -> person
+    # no context: tie on ctx_hits + same specificity -> min entity_id
+    assert got[("c2", 2)][0] == 1
+    # longest-match: the 2-gram 'new york' suppresses 1-gram 'york'
+    assert got[("c2", 0)] == (3, "new york")
+
+
+def test_mentions_to_triples_shape(spark):
+    from serd_spark.operators.kg import kg_entity_link_pipeline
+
+    t = kg_entity_link_pipeline(_turns(spark), _entities(spark))
+    rows = {(r.s, r.p, r.o) for r in t.collect()}
+    assert ("urn:conv:c1:turn:0", "urn:kg:mentions",
+            "urn:kg:city:paris") in rows
+    assert ("urn:conv:c2:turn:0", "urn:kg:mentions",
+            "urn:kg:city:nyc") in rows
+    # a turn with no mentions emits nothing
+    assert not any(s.endswith("c2:turn:1") for s, _, _ in rows)
+
+
+def test_detect_single_scan_no_corpus_shuffle(spark):
+    """The detect join must be map-side (broadcast dictionary): no
+    shuffle join of the corpus, one scan."""
+    from serd_spark.operators.kg import detect_mentions
+
+    turns = _turns(spark)
+    m = detect_mentions(turns, _entities(spark))
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
