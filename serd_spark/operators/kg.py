@@ -108,6 +108,12 @@ def link_entities(
                 + 1.0 / n_cand, 6))
     w = Window.partitionBy(*key_cols, "pos", "n_gram", "alias").orderBy(
         F.col("score").desc(), F.col("entity_id").asc())
+    # `best` feeds both sides of the longest-match anti-join below;
+    # Catalyst deduplicates the identical subplan via ReusedExchange,
+    # so no explicit materialization and NO broadcast hint on the
+    # cover side (both were measured slower: localCheckpoint forces an
+    # eager extra job; a broadcast hint splits the shared subplan so
+    # the detect chain really does run twice).
     best = scored.withColumn("_rn", F.row_number().over(w)) \
         .where(F.col("_rn") == 1).drop("_rn", "toks", "ctx")
     # longest-match: drop a k-gram mention if a longer gram starting
