@@ -1129,11 +1129,8 @@ def _q_kg_parse_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
     terminating '.', quarantining exactly one error row."""
     from pyspark.sql import Window
 
-    from serd_spark.operators.canonicalize import conv_metrics
-    from serd_spark.operators.parse import (
-        parse_documents_chunked,
-        split_quarantine,
-    )
+    from serd_spark.operators.canonicalize import conv_metrics_from_parsed
+    from serd_spark.operators.parse import parse_documents_chunked
 
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -1156,9 +1153,8 @@ def _q_kg_parse_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
-    triples, errors = split_quarantine(
+    m = conv_metrics_from_parsed(
         parse_documents_chunked(tdf, chunk_turns=8))
-    m = conv_metrics(triples, errors)
     return m.select(
         "conv_id",
         F.col("n_triples").cast("long").alias("n_triples"),
@@ -1196,18 +1192,15 @@ def _o_kg_parse_nt(_: str) -> str:
 
 def _q_kg_parse_turtle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Turtle KG pipeline on the synthetic transcript corpus:
-    chunked skew-split parse → per-conv triple counts."""
-    from serd_spark.operators.canonicalize import conv_metrics
-    from serd_spark.operators.parse import (
-        parse_documents_chunked,
-        split_quarantine,
-    )
+    chunked skew-split parse → per-conv triple counts (single-pass
+    metrics: the parse plan is evaluated once)."""
+    from serd_spark.operators.canonicalize import conv_metrics_from_parsed
+    from serd_spark.operators.parse import parse_documents_chunked
     from serd_spark.transcripts import transcripts_df
 
     tdf = transcripts_df(spark, 48, mega_every=16, mega_factor=20)
-    triples, errors = split_quarantine(
+    return conv_metrics_from_parsed(
         parse_documents_chunked(tdf, chunk_turns=32))
-    return conv_metrics(triples, errors)
 
 
 def _q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,7 +120,13 @@ def intern_nodes(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def conv_metrics(triples: DataFrame, errors: DataFrame) -> DataFrame:
-    """Per-conversation lineage metrics: triple + error counts."""
+    """Per-conversation lineage metrics: triple + error counts.
+
+    NB: when ``triples`` and ``errors`` both derive from ONE parsed
+    DataFrame (the ``split_quarantine`` output), use
+    :func:`conv_metrics_from_parsed` instead — this two-input form
+    evaluates the shared parse plan twice (mapInArrow output is not
+    exchange-reusable), doubling the Python parse cost."""
     t = triples.groupBy("conv_id").agg(F.count("*").alias("n_triples"))
     e = errors.groupBy("conv_id").agg(F.count("*").alias("n_errors"))
     return (
@@ -130,6 +136,18 @@ def conv_metrics(triples: DataFrame, errors: DataFrame) -> DataFrame:
             F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
             F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
         )
+    )
+
+
+def conv_metrics_from_parsed(parsed: DataFrame) -> DataFrame:
+    """Per-conversation lineage metrics in ONE pass over the parsed
+    (pre-quarantine-split) DataFrame: a single map-side-combined
+    aggregation, no second parse evaluation, no join.  Output is
+    identical to ``conv_metrics(*split_quarantine(parsed))``."""
+    return parsed.groupBy("conv_id").agg(
+        F.count(F.when(F.col("err").isNull(), F.lit(1)))
+        .alias("n_triples"),
+        F.count("err").alias("n_errors"),
     )
 
 

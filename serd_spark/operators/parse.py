@@ -205,15 +205,19 @@ def assemble_chunks(
                           F.length(s["text"]).cast("long"))))
     directive_possible = F.lower(F.col("text")).contains("prefix") | \
         F.lower(F.col("text")).contains("base")
-    return (
-        agg.select("conv_id", "chunk_idx", text.alias("text"),
-                   turn_map.alias("turn_map"))
-        .withColumn(
-            "patch",
-            F.when(directive_possible, patch_of(F.col("text")))
-            .otherwise(F.lit(None).cast("string")))
-        .select("conv_id", "chunk_idx", "text", "patch", "turn_map")
-    )
+    chunks = agg.select("conv_id", "chunk_idx", text.alias("text"),
+                        turn_map.alias("turn_map"))
+    # filter + union, NOT when(cond, udf): Spark extracts a pandas UDF
+    # into its own ArrowEvalPython node and evaluates it on EVERY row
+    # regardless of the when-branch, shipping the full text column to
+    # Python; filtering first runs the scan only on chunks that can
+    # hold a directive (zero rows for pure-NT corpora).
+    with_dir = chunks.where(directive_possible).withColumn(
+        "patch", patch_of(F.col("text")))
+    without = chunks.where(~directive_possible).withColumn(
+        "patch", F.lit(None).cast("string"))
+    return with_dir.unionByName(without).select(
+        "conv_id", "chunk_idx", "text", "patch", "turn_map")
 
 
 def fold_patches(patches: list[tuple[int, str]], upto_chunk: int,

@@ -294,3 +294,25 @@ def test_nt_fast_path_equals_slow(spark):
                               t.o_datatype, t.o_lang), line
         n_ok += 1
     assert n_ok == 11 and n_err == 2
+
+
+def test_conv_metrics_single_pass_equivalence(spark):
+    """conv_metrics_from_parsed(parsed) must equal
+    conv_metrics(*split_quarantine(parsed)) — the single-aggregation
+    form exists so the parse plan is evaluated once, not twice."""
+    from serd_spark.operators.canonicalize import (
+        conv_metrics,
+        conv_metrics_from_parsed,
+    )
+    from serd_spark.operators.parse import (
+        parse_documents_chunked,
+        split_quarantine,
+    )
+    from serd_spark.transcripts import transcripts_df
+
+    tdf = transcripts_df(spark, 24, mega_every=8, mega_factor=10)
+    parsed = parse_documents_chunked(tdf, chunk_turns=16)
+    a = {tuple(r) for r in
+         conv_metrics(*split_quarantine(parsed)).collect()}
+    b = {tuple(r) for r in conv_metrics_from_parsed(parsed).collect()}
+    assert a == b and a
