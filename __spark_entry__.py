@@ -929,6 +929,48 @@ def _o_token_counts(_: str) -> str:
     """
 
 
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL stats over a synthesized URL-bearing corpus
+    (documents.text carries no URLs, so the corpus is constructed from
+    customer — ground truth known to the oracle by the same
+    construction)."""
+    from serd_spark.operators.text import domain_stats
+
+    cust = _t(spark, sf_dir, "customer")
+    docs = cust.select(
+        F.col("c_custkey").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("visit http://shop"), (F.col("c_custkey") % 50),
+            F.lit(".example.com/item/"), "c_custkey",
+            F.lit(" and http://cdn"), (F.col("c_custkey") % 7),
+            F.lit(".example.org/a b"),
+        ).alias("text"),
+    )
+    return domain_stats(docs)
+
+
+def _o_domain_stats(_: str) -> str:
+    return """
+    WITH docs AS (
+        SELECT c_custkey AS doc_id,
+               'visit http://shop' || (c_custkey % 50)
+               || '.example.com/item/' || c_custkey
+               || ' and http://cdn' || (c_custkey % 7)
+               || '.example.org/a b' AS text
+        FROM customer),
+    urls AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(
+                   text, 'https?://[A-Za-z0-9.\\-]+(?:/[A-Za-z0-9._/\\-]*)?'))
+                   AS url
+        FROM docs)
+    SELECT regexp_extract(url, 'https?://([A-Za-z0-9.\\-]+)', 1) AS domain,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM urls GROUP BY 1
+    """
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs sharing >=1 3-shingle
     with the (deterministic) eval subset.  Eval shingles broadcast —
@@ -1246,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_profile": _q_doc_profile,
         "repetition": _q_repetition,
         "pii_scrub": _q_pii_scrub,
+        "domain_stats": _q_domain_stats,
         "contamination": _q_contamination,
         "pack_chunks": _q_pack_chunks,
         "embedding_neardup": _q_embedding_neardup,
@@ -1287,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_profile": _o_doc_profile(sf),
         "repetition": _o_repetition(sf),
         "pii_scrub": _o_pii_scrub(sf),
+        "domain_stats": _o_domain_stats(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

@@ -284,6 +284,38 @@ def repetition_features(
     return base.select(*cols)
 
 
+# URL extraction: RE2-compatible (no lookaround), same pattern in
+# Spark and the SQL oracle.  Conservative charset: scheme + host +
+# optional path; query strings and fragments are cut at the first
+# char outside the class (deterministic in both engines).
+URL_RE = r"https?://[A-Za-z0-9.\-]+(?:/[A-Za-z0-9._/\-]*)?"
+DOMAIN_RE = r"https?://([A-Za-z0-9.\-]+)"
+
+
+def extract_urls(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, url, domain) — one row per URL occurrence.  Pure JVM
+    ``regexp_extract_all`` + explode: one scan, no shuffle."""
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.regexp_extract_all(
+                F.col(text_col), F.lit(URL_RE), F.lit(0))).alias("url"))
+        .withColumn("domain",
+                    F.regexp_extract(F.col("url"), DOMAIN_RE, 1))
+    )
+
+
+def domain_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain corpus stats (the C4/RefinedWeb-style domain
+    filtering basis): URL occurrences and distinct documents per
+    domain.  One aggregation shuffle with map-side partial counts."""
+    u = extract_urls(docs, text_col)
+    return u.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
 # PII patterns: deliberately RE2-compatible (no lookaround/backrefs)
 # so the same pattern runs in Spark (Java regex) and the SQL oracle.
 PII_PATTERNS = (

@@ -953,3 +953,24 @@ def test_contamination_flags_basic(spark):
     got = {r.doc_id: r.n_hits for r in
            contamination_flags(train, eval_docs).collect()}
     assert got == {1: 2, 3: 2}
+
+
+def test_extract_urls_and_domains(spark):
+    from serd_spark.operators.text import domain_stats, extract_urls
+
+    docs = spark.createDataFrame(
+        [(1, "see http://a.example.com/x and https://b.org/p_q-r done"),
+         (2, "http://a.example.com twice http://a.example.com/y"),
+         (3, "no urls here"),
+         (4, "cut at space http://c.net/a b and at quote http://d.io\"")],
+        "doc_id long, text string")
+    urls = {(r.doc_id, r.url, r.domain)
+            for r in extract_urls(docs).collect()}
+    assert (1, "http://a.example.com/x", "a.example.com") in urls
+    assert (1, "https://b.org/p_q-r", "b.org") in urls
+    assert (4, "http://c.net/a", "c.net") in urls       # path cut at space
+    assert (4, "http://d.io", "d.io") in urls           # cut at quote
+    assert not any(d == 3 for d, _, _ in urls)
+    stats = {r.domain: (r.n_urls, r.n_docs)
+             for r in domain_stats(docs).collect()}
+    assert stats["a.example.com"] == (3, 2)
