@@ -929,6 +929,74 @@ def _o_token_counts(_: str) -> str:
     """
 
 
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FineWeb-style quality gate: language + quality +
+    repetition + PII predicates fused into one corpus scan."""
+    from serd_spark.operators.text import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
+def _o_clean_corpus(_: str) -> str:
+    from serd_spark.operators.text import (
+        LANG_STOPWORDS,
+        PII_PATTERNS,
+        STOPWORDS_EN,
+    )
+
+    scores = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            for w in words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    score_cols = ",\n".join(
+        f"({expr}) AS score_{lang}" for lang, expr in sorted(scores.items()))
+    best = "GREATEST(" + ", ".join(
+        f"score_{la}" for la in sorted(LANG_STOPWORDS)) + ")"
+    pred = "'und'"
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = f"CASE WHEN score_{lang} = best THEN '{lang}' ELSE {pred} END"
+    stop_hits = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+        for w in STOPWORDS_EN)
+    ntok = "len(string_split_regex(trim(text), '\\s+'))"
+    quality = f"""ROUND(
+        LEAST(1.0, {ntok} / 64.0) * 0.4
+        + LEAST(1.0, ROUND(({stop_hits}) / GREATEST({ntok}, 1), 6)
+                * 4.0) * 0.4
+        + CASE WHEN ROUND(len(regexp_extract_all(text, '[.,!?;:]'))
+                          / GREATEST(length(text), 1), 6) < 0.1
+               THEN 0.2 ELSE 0.0 END, 6)"""
+    dup2 = """CASE WHEN len(w) >= 2 THEN
+        ROUND(1 - len(list_distinct(list_transform(
+                  range(1, len(w)), i -> w[i] || ' ' || w[i+1])))
+                / (len(w) - 1)::DOUBLE, 6)
+        ELSE 0.0 END"""
+    email = ("len(regexp_extract_all(text, '"
+             + PII_PATTERNS[0][1] + "'))")
+    return f"""
+    WITH s AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS w,
+               {score_cols}
+        FROM documents),
+    b AS (SELECT *, {best} AS best FROM s),
+    feat AS (
+        SELECT doc_id,
+               CASE WHEN best = 0 THEN 'und' ELSE {pred} END AS lang_pred,
+               {quality} AS quality_score,
+               {dup2} AS dup_2gram_frac,
+               CAST({email} AS BIGINT) AS n_email
+        FROM b)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang_pred, quality_score,
+           dup_2gram_frac, n_email
+    FROM feat
+    WHERE lang_pred = 'en' AND quality_score >= 0.5
+      AND dup_2gram_frac < 0.5 AND n_email = 0
+    """
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL stats over a synthesized URL-bearing corpus
     (documents.text carries no URLs, so the corpus is constructed from
@@ -1288,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_profile": _q_doc_profile,
         "repetition": _q_repetition,
         "pii_scrub": _q_pii_scrub,
+        "clean_corpus": _q_clean_corpus,
         "domain_stats": _q_domain_stats,
         "contamination": _q_contamination,
         "pack_chunks": _q_pack_chunks,
@@ -1330,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_profile": _o_doc_profile(sf),
         "repetition": _o_repetition(sf),
         "pii_scrub": _o_pii_scrub(sf),
+        "clean_corpus": _o_clean_corpus(sf),
         "domain_stats": _o_domain_stats(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),

@@ -39,7 +39,7 @@ HEADLINE = [
     "minhash_lsh", "dedup_clusters", "ngram_jaccard", "simhash",
     "cosine_topk",
     "quality", "langid", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "doc_profile", "repetition", "pii_scrub",
-    "contamination", "pack_chunks", "domain_stats",
+    "contamination", "pack_chunks", "domain_stats", "clean_corpus",
     "embedding_neardup", "sessionize", "asof_attrib", "kg_parse_nt",
     "kg_entity_link",
 ]

@@ -327,6 +327,47 @@ PII_PATTERNS = (
 )
 
 
+def clean_corpus(
+    docs: DataFrame, text_col: str = "text",
+    min_quality: float = 0.5, lang: str = "en",
+    max_dup_2gram: float = 0.5,
+) -> DataFrame:
+    """The composed training-data quality gate (FineWeb/C4-style):
+    language + quality score + repetition + PII checks fused into ONE
+    scan — every predicate is a column expression riding the same
+    projection (this is why ``lang_pred_col``/``quality_score_col``
+    exist as Column builders: the naive form joins four derived
+    DataFrames back on doc_id, shuffling the corpus four times).
+
+    Keeps docs that are in ``lang``, score ≥ ``min_quality``, have
+    2-gram duplicate fraction < ``max_dup_2gram``, and contain no
+    email addresses.  Output carries the gate features for audit."""
+    from .dedup import _shingles_from_tokens
+
+    text = F.col(text_col)
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    sh = _shingles_from_tokens(toks, 2)
+    n_sh = F.size(sh)
+    dup2 = F.when(
+        n_sh > 0,
+        F.round(1 - F.size(F.array_distinct(sh)) / n_sh, 6),
+    ).otherwise(F.lit(0.0))
+    n_email = F.regexp_count(text, F.lit(PII_PATTERNS[0][1]))
+    out = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        lang_pred_col(text).alias("lang_pred"),
+        quality_score_col(text).alias("quality_score"),
+        dup2.alias("dup_2gram_frac"),
+        n_email.cast("long").alias("n_email"),
+    )
+    return out.where(
+        (F.col("lang_pred") == lang)
+        & (F.col("quality_score") >= min_quality)
+        & (F.col("dup_2gram_frac") < max_dup_2gram)
+        & (F.col("n_email") == 0)
+    )
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Training-data PII redaction: mask emails, IPv4 addresses, and
     international-format phone numbers with typed placeholders, and

@@ -797,9 +797,12 @@ def test_fused_queries_single_scan_no_join(spark):
     from serd_spark.operators.text import doc_length_profile
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from serd_spark.operators.text import clean_corpus
+
     for df in (
         doc_length_profile(docs),
         exact_dedup_keep_best(docs),
+        clean_corpus(docs),
         E.queries()["stratified_sample"](spark, "/root/testdata/sf0.001"),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
