@@ -43,6 +43,17 @@ def bpe_token_count_col(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
 
 
+def _word_hits_col(text_lower: Column, words) -> Column:
+    """Occurrence count of any of ``words`` as whole tokens, in ONE
+    regexp pass (``\\b(w1|w2|...)\\b``).  Identical to summing
+    per-word ``regexp_count``s — the words are distinct whole tokens,
+    so a position matches at most one branch and matches never
+    overlap — but one text scan instead of len(words)."""
+    return F.regexp_count(
+        text_lower, F.lit(r"\b(?:" + "|".join(words) + r")\b")
+    ).cast("long")
+
+
 def quality_score_col(text: Column) -> Column:
     """Combined quality score in [0,1] as a pure COLUMN expression —
     compose it onto any scan with ``withColumn`` (zero joins, zero
@@ -50,12 +61,7 @@ def quality_score_col(text: Column) -> Column:
     n_chars = F.length(text)
     n_tokens = token_count_col(text)
     n_punct = F.regexp_count(text, F.lit(PUNCT_CLASS))
-    stop_hits = sum(
-        (F.regexp_count(F.lower(text),
-                        F.lit(r"\b" + w + r"\b")).cast("long")
-         for w in STOPWORDS_EN),
-        F.lit(0).cast("long"),
-    )
+    stop_hits = _word_hits_col(F.lower(text), STOPWORDS_EN)
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6)
     return F.round(
@@ -73,12 +79,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(text)
     n_tokens = token_count_col(text)
     n_punct = F.regexp_count(text, F.lit(PUNCT_CLASS))
-    stop_hits = sum(
-        (F.regexp_count(F.lower(text),
-                        F.lit(r"\b" + w + r"\b")).cast("long")
-         for w in STOPWORDS_EN),
-        F.lit(0).cast("long"),
-    )
+    stop_hits = _word_hits_col(F.lower(text), STOPWORDS_EN)
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6)
     mean_tok_len = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6)
@@ -97,12 +98,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _lang_scores(text: Column) -> dict:
     lowered = F.lower(text)
     return {
-        lang: sum(
-            (F.regexp_count(lowered,
-                            F.lit(r"\b" + w + r"\b")).cast("long")
-             for w in words),
-            F.lit(0).cast("long"),
-        )
+        lang: _word_hits_col(lowered, words)
         for lang, words in LANG_STOPWORDS.items()
     }
 
