@@ -108,33 +108,32 @@ def link_entities(
                 + 1.0 / n_cand, 6))
     w = Window.partitionBy(*key_cols, "pos", "n_gram", "alias").orderBy(
         F.col("score").desc(), F.col("entity_id").asc())
-    # `best` feeds both sides of the longest-match anti-join below;
-    # Catalyst deduplicates the identical subplan via ReusedExchange,
-    # so no explicit materialization and NO broadcast hint on the
-    # cover side (both were measured slower: localCheckpoint forces an
-    # eager extra job; a broadcast hint splits the shared subplan so
-    # the detect chain really does run twice).
     best = scored.withColumn("_rn", F.row_number().over(w)) \
         .where(F.col("_rn") == 1).drop("_rn", "toks", "ctx")
-    # longest-match: drop a k-gram mention if a longer gram starting
-    # at any position covering it was linked (per turn, positions
-    # covered = [pos, pos + n_gram))
-    longer = best.where(F.col("n_gram") > 1).select(
-        *key_cols,
+    # longest-match: drop a k-gram mention if a longer linked gram
+    # covers any of its positions (covered = [pos, pos + n_gram)).
+    # Formulated as explode-covered-positions → per-position max
+    # cover via a window → per-mention max of those → filter.  A
+    # self-anti-join of `best` against its own multi-word subset
+    # expands the whole detect chain TWICE in the physical plan (a
+    # mapInPandas-free chain, but still two full passes cold); this
+    # form evaluates `best` once.  A mention survives iff no position
+    # it covers is also covered by a strictly longer mention.
+    mention_cols = [*key_cols, "pos", "n_gram", "alias",
+                    "entity_id", "iri", "score"]
+    exploded = best.select(
+        *mention_cols,
         F.explode(F.sequence(
             F.col("pos"), F.col("pos") + F.col("n_gram") - 1))
-        .alias("cover_pos"),
-        F.col("n_gram").alias("cover_len"),
+        .alias("_cover_pos"))
+    w_pos = Window.partitionBy(*key_cols, "_cover_pos")
+    keep = (
+        exploded.withColumn("_mx", F.max("n_gram").over(w_pos))
+        .groupBy(*mention_cols)
+        .agg(F.max("_mx").alias("_maxcover"))
+        .where(F.col("n_gram") == F.col("_maxcover"))
     )
-    keep = best.alias("b").join(
-        longer.alias("l"),
-        [F.col(f"b.{c}") == F.col(f"l.{c}") for c in key_cols]
-        + [F.col("b.pos") == F.col("l.cover_pos"),
-           F.col("b.n_gram") < F.col("l.cover_len")],
-        "left_anti",
-    )
-    return keep.select(*key_cols, "pos", "n_gram", "alias",
-                       "entity_id", "iri", "score")
+    return keep.select(*mention_cols)
 
 
 def mentions_to_triples(
