@@ -88,3 +88,39 @@ def test_detect_single_scan_no_corpus_shuffle(spark):
     plan = m._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_kg_pipeline_streaming_microbatch(spark, tmpdir_path):
+    """The KG stages run under Structured Streaming: mention detect is
+    stateless (explode + broadcast join, stream-compatible as-is);
+    link scoring needs windows, so it runs per micro-batch via
+    foreachBatch — the standard pattern for rank-within-batch logic.
+    Output over all batches must equal the batch pipeline."""
+    import os
+
+    from serd_spark.operators.kg import kg_entity_link_pipeline
+
+    inp = os.path.join(tmpdir_path, "kg_in")
+    out = os.path.join(tmpdir_path, "kg_out")
+    ckpt = os.path.join(tmpdir_path, "kg_ckpt")
+    turns = _turns(spark)
+    turns.write.parquet(inp)
+    entities = _entities(spark)
+
+    def handle(batch_df, _bid):
+        kg_entity_link_pipeline(batch_df, entities) \
+            .write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(turns.schema).parquet(inp)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            kg_entity_link_pipeline(turns, entities).collect()}
+    assert got == want and got
