@@ -304,6 +304,7 @@ def embedding_neardup(
 def ivf_assign(
     emb: DataFrame, n_cells: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    vectorized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: centroids are a deterministic sample of
     the corpus (lowest md5(vec_id) — stable under partitioning and
@@ -313,7 +314,18 @@ def ivf_assign(
     Returns (assigned, centroids): ``assigned`` = emb + ``cell``
     column; the inverted file is the implicit (cell → vectors)
     grouping.  At 100 TB ``assigned`` is written bucketed by ``cell``
-    so probes prune partitions."""
+    so probes prune partitions.
+
+    ``vectorized=True`` swaps the JVM expression assignment (a
+    corpus × centroids broadcast cross join of per-element HOF dots —
+    exact but ~100× slower at real dims) for one numpy GEMM per Arrow
+    batch with the centroid matrix riding the UDF closure — the same
+    trade the blocked-GEMM near-dup stage makes.  Assignment ties at
+    float equality may fall differently between the two paths
+    (argmax-first vs window tie-break both pick the smallest cell, but
+    JVM/numpy float sums can differ in the last ulp); downstream
+    recall gates tolerate this, which is why the default stays JVM for
+    the oracle-facing contract query."""
     v = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
     cents = (
@@ -324,6 +336,26 @@ def ivf_assign(
                 F.col("v").alias("cv"))
         .withColumn("cn", _norm(F.col("cv")))
     )
+    if vectorized:
+        import numpy as np
+
+        cent_rows = sorted(cents.collect(), key=lambda r: r.cell)
+        C = np.array([r.cv for r in cent_rows], dtype=np.float64)
+        cn = np.linalg.norm(C, axis=1)
+        cell_ids = np.array([r.cell for r in cent_rows], dtype=np.int64)
+
+        @F.pandas_udf("long")
+        def assign(vs: pd.Series) -> pd.Series:
+            if not len(vs):
+                return pd.Series([], dtype="int64")
+            X = np.array(vs.tolist(), dtype=np.float64)
+            sims = (X @ C.T) / (
+                np.linalg.norm(X, axis=1)[:, None] * cn[None, :])
+            # argmax returns the FIRST max — rows sorted by cell, so
+            # ties break to the smallest cell like the window path
+            return pd.Series(cell_ids[np.argmax(sims, axis=1)])
+
+        return v.withColumn("cell", assign(F.col("v"))), cents
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "cell",
         (_dot(F.col("v"), F.col("cv"))
@@ -341,13 +373,16 @@ def ivf_assign(
 def ivf_ann_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10, n_cells: int = 16,
     n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    vectorized: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``n_probe``
     nearest cells and ranks exact cosine only within them — the
     classic inverted-file ANN next to the SRP-LSH variant
     (``srp_ann_topk``).  Candidate work is bounded by
-    n_probe/n_cells of the corpus per query."""
-    assigned, cents = ivf_assign(emb, n_cells, id_col, vec_col)
+    n_probe/n_cells of the corpus per query.  ``vectorized`` selects
+    the GEMM assignment path (see :func:`ivf_assign`)."""
+    assigned, cents = ivf_assign(emb, n_cells, id_col, vec_col,
+                                 vectorized=vectorized)
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
     q_cells = q.crossJoin(F.broadcast(cents)).select(

@@ -97,8 +97,12 @@ def test_ivf_ann_recall_and_candidate_bound(spark, corpus):
     q_ids = list(range(N_QUERIES))
     queries = emb.where(F.col("vec_id") < N_QUERIES)
 
+    # vectorized GEMM assignment: the JVM HOF path is exact-identical
+    # in spirit but ~100x slower at 50k x 128 x dim-768 (this test
+    # took ~20 min of its runtime in assignment alone without it)
     ann = ivf_ann_topk(emb, queries, k=K,
-                       n_cells=n_cells, n_probe=n_probe)
+                       n_cells=n_cells, n_probe=n_probe,
+                       vectorized=True)
     got = {}
     for r in ann.collect():
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -109,7 +113,7 @@ def test_ivf_ann_recall_and_candidate_bound(spark, corpus):
 
     # candidate work per query = sum of the cells it actually probes
     # (mirror of the operator's probe join, counted per query)
-    assigned, cents = ivf_assign(emb, n_cells)
+    assigned, cents = ivf_assign(emb, n_cells, vectorized=True)
     q = queries.select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").cast("array<double>")
                        .alias("qv"))

@@ -977,3 +977,17 @@ def test_extract_urls_and_domains(spark):
     stats = {r.domain: (r.n_urls, r.n_docs)
              for r in domain_stats(docs).collect()}
     assert stats["a.example.com"] == (3, 2)
+
+
+def test_ivf_assign_vectorized_matches_jvm(spark):
+    """GEMM assignment == JVM expression assignment on the test
+    embeddings (well-separated similarities; float-ulp ties are the
+    only divergence mode and don't occur here)."""
+    from serd_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a_jvm, _ = ivf_assign(emb, n_cells=16)
+    a_gemm, _ = ivf_assign(emb, n_cells=16, vectorized=True)
+    jvm = {r.vec_id: r.cell for r in a_jvm.collect()}
+    gemm = {r.vec_id: r.cell for r in a_gemm.collect()}
+    assert jvm == gemm and jvm
