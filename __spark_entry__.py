@@ -698,6 +698,99 @@ def _o_dedup_clusters(_: str) -> str:
     """
 
 
+# shared CTE prefix: the LSH candidate-pair graph (mirrors
+# minhash_lsh_pairs at n_bands=4, shingle_k=3, max_bucket=64)
+_LSH_PAIRS_CTE = """
+    words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+    shingles AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3 THEN
+                list_transform(range(1, len(w)-1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+            ELSE [] END) AS shingle
+        FROM words),
+    mh AS (
+        SELECT doc_id, band,
+               MIN(md5(shingle || '#' || band)) AS minhash
+        FROM shingles, (SELECT unnest(range(0,4)) AS band)
+        GROUP BY doc_id, band),
+    sized AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, minhash) AS bucket_n
+        FROM mh),
+    pairs AS (
+        SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+                        CAST(b.doc_id AS BIGINT) AS doc_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.minhash = b.minhash
+         AND a.doc_id < b.doc_id
+        WHERE a.bucket_n <= 64 AND b.bucket_n <= 64),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs)
+"""
+
+
+def _q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.dedup import minhash_lsh_pairs
+    from serd_spark.operators.graph import degree_stats
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_bands=4, shingle_k=3,
+        max_bucket=64)
+    return degree_stats(pairs)
+
+
+def _o_graph_degrees(_: str) -> str:
+    return f"""
+    WITH {_LSH_PAIRS_CTE},
+    deg AS (SELECT u, COUNT(*) AS degree FROM edges GROUP BY u)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the LSH pair graph — the
+    iterative-analytics twin of dedup_clusters, with an EXACT oracle
+    (the SQL unrolls the same 5 power-iteration rounds)."""
+    from serd_spark.operators.dedup import minhash_lsh_pairs
+    from serd_spark.operators.graph import pagerank
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_bands=4, shingle_k=3,
+        max_bucket=64)
+    return pagerank(pairs, n_iter=5)
+
+
+def _o_pagerank(_: str) -> str:
+    n_iter, damping = 5, 0.85
+    ctes = ["nodes AS (SELECT DISTINCT u FROM edges)",
+            "nn AS (SELECT COUNT(*) AS c FROM nodes)",
+            "od AS (SELECT u, COUNT(*) AS od FROM edges GROUP BY u)",
+            "r0 AS (SELECT u, 1.0/(SELECT c FROM nn) AS r FROM nodes)"]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""r{k} AS (
+        SELECT n.u,
+               {1.0 - damping}/(SELECT c FROM nn)
+               + {damping}*COALESCE(s.in_sum, 0) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.v AS u, SUM(r.r/od.od) AS in_sum
+            FROM edges e
+            JOIN r{k - 1} r ON e.u = r.u
+            JOIN od ON e.u = od.u
+            GROUP BY e.v) s ON n.u = s.u)""")
+    chained = ",\n    ".join(ctes)
+    return f"""
+    WITH {_LSH_PAIRS_CTE},
+    {chained}
+    SELECT u AS doc_id, ROUND(r, 6) AS rank FROM r{n_iter}
+    """
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard
 
@@ -1344,6 +1437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "minhash_lsh": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "graph_degrees": _q_graph_degrees,
+        "pagerank": _q_pagerank,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
@@ -1387,6 +1482,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _o_dedup_keep_best(sf),
         "minhash_lsh": _o_minhash_lsh(sf),
         "dedup_clusters": _o_dedup_clusters(sf),
+        "graph_degrees": _o_graph_degrees(sf),
+        "pagerank": _o_pagerank(sf),
         "ngram_jaccard": _o_ngram_jaccard(sf),
         "simhash": _o_simhash(sf),
         "cosine_topk": _o_cosine_topk(sf),

@@ -40,6 +40,7 @@ HEADLINE = [
     "cosine_topk",
     "quality", "langid", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "doc_profile", "repetition", "pii_scrub",
     "contamination", "pack_chunks", "domain_stats", "clean_corpus",
+    "graph_degrees", "pagerank",
     "embedding_neardup", "sessionize", "asof_attrib", "kg_parse_nt",
     "kg_entity_link",
 ]

@@ -991,3 +991,34 @@ def test_ivf_assign_vectorized_matches_jvm(spark):
     jvm = {r.vec_id: r.cell for r in a_jvm.collect()}
     gemm = {r.vec_id: r.cell for r in a_gemm.collect()}
     assert jvm == gemm and jvm
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """5 fixed rounds on a small asymmetric graph must equal a numpy
+    power iteration of the same update rule to 1e-9."""
+    import numpy as np
+
+    from serd_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (5, 6)],
+        "doc_a long, doc_b long")
+    got = {r.doc_id: r.rank for r in pagerank(pairs, n_iter=5).collect()}
+
+    nodes = [1, 2, 3, 4, 5, 6]
+    idx = {v: i for i, v in enumerate(nodes)}
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3), (5, 6)]
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    n = len(nodes)
+    od = {v: sum(1 for u, _ in sym if u == v) for v in nodes}
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, 0.15 / n)
+        for u, v in sym:
+            nxt[idx[v]] += 0.85 * r[idx[u]] / od[u]
+        r = nxt
+    for v in nodes:
+        assert abs(got[v] - round(float(r[idx[v]]), 6)) < 1e-9, v
