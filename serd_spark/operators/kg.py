@@ -86,6 +86,112 @@ def detect_mentions(
         F.col("_toks").alias("toks"))
 
 
+class AhoCorasick:
+    """Minimal Aho-Corasick automaton (pure Python, deterministic):
+    multi-pattern substring search in one pass over the text.  Built
+    once per executor task batch from the (broadcast-sized) alias
+    dictionary; matching is O(len(text) + matches) regardless of
+    dictionary size — the scale path when aliases are not
+    whitespace-tokenizable (CJK scripts, punctuation-embedded names),
+    where the token-n-gram join of :func:`detect_mentions` cannot
+    see them."""
+
+    def __init__(self, patterns):
+        self.goto = [{}]
+        self.out = [[]]
+        self.fail = [0]
+        for pat in patterns:
+            s = 0
+            for ch in pat:
+                nxt = self.goto[s].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append([])
+                    self.fail.append(0)
+                    nxt = len(self.goto) - 1
+                    self.goto[s][ch] = nxt
+                s = nxt
+            self.out[s].append(pat)
+        # BFS failure links
+        from collections import deque
+
+        q = deque()
+        for s in self.goto[0].values():
+            q.append(s)
+        while q:
+            s = q.popleft()
+            for ch, t in self.goto[s].items():
+                q.append(t)
+                f = self.fail[s]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[t] = self.goto[f].get(ch, 0) if \
+                    self.goto[f].get(ch, 0) != t else 0
+                self.out[t] = self.out[t] + self.out[self.fail[t]]
+
+    def finditer(self, text):
+        """yields (start_char, pattern) for every occurrence."""
+        s = 0
+        for i, ch in enumerate(text):
+            while s and ch not in self.goto[s]:
+                s = self.fail[s]
+            s = self.goto[s].get(ch, 0)
+            for pat in self.out[s]:
+                yield i - len(pat) + 1, pat
+
+
+def detect_mentions_substring(
+    turns: DataFrame, entities: DataFrame, text_col: str = "text",
+    key_cols: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Substring (non-token-aligned) mention detection: every char
+    position where a dictionary alias occurs in the lowercased turn
+    text, matched with ONE Aho-Corasick pass per row — alternative to
+    the token-n-gram join of :func:`detect_mentions` for dictionaries
+    whose aliases cross token boundaries.
+
+    Output mirrors ``detect_mentions`` (``pos`` is a CHAR offset and
+    ``n_gram`` the alias char length, so :func:`link_entities`'s
+    scoring + longest-match work unchanged at char granularity).
+    The dictionary is collected driver-side and ships in the UDF
+    closure — same broadcast-size assumption as the join path."""
+    ents = entities.select("entity_id", "iri", "alias", "ctx").collect()
+    by_alias: dict = {}
+    for r in ents:
+        by_alias.setdefault(r.alias, []).append(
+            (r.entity_id, r.iri, list(r.ctx)))
+    patterns = sorted(by_alias)
+
+    out_schema = (
+        ", ".join(f"{c} string" if c == "conv_id" else f"{c} int"
+                  for c in key_cols)
+        + ", pos int, n_gram int, alias string, entity_id long,"
+          " iri string, ctx array<string>, toks array<string>"
+    )
+
+    def run(batches):
+        ac = AhoCorasick(patterns)
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                text = str(getattr(t, text_col)).lower()
+                toks = text.strip().split()
+                keys = tuple(getattr(t, c) for c in key_cols)
+                for start, pat in ac.finditer(text):
+                    for eid, iri, ctx in by_alias[pat]:
+                        rows.append(
+                            (*keys, start, len(pat), pat, eid, iri,
+                             ctx, toks))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                rows, columns=[*key_cols, "pos", "n_gram", "alias",
+                               "entity_id", "iri", "ctx", "toks"])
+
+    return turns.select(*key_cols, text_col) \
+        .mapInPandas(run, schema=out_schema)
+
+
 def link_entities(
     mentions: DataFrame, key_cols: tuple = ("conv_id", "turn_idx"),
 ) -> DataFrame:

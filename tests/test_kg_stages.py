@@ -124,3 +124,60 @@ def test_kg_pipeline_streaming_microbatch(spark, tmpdir_path):
     want = {tuple(r) for r in
             kg_entity_link_pipeline(turns, entities).collect()}
     assert got == want and got
+
+
+def test_aho_corasick_matches_bruteforce():
+    """AC automaton output == per-pattern brute-force scan, including
+    overlapping patterns, patterns-within-patterns, and repeats."""
+    import re
+
+    from serd_spark.operators.kg import AhoCorasick
+
+    patterns = ["he", "she", "his", "hers", "a", "ab", "abc", "york",
+                "new york"]
+    ac = AhoCorasick(patterns)
+    texts = ["ushers", "abcabcab", "a", "", "new york yorker",
+             "shishershe", "xyz", "aaa", "new new york"]
+    for text in texts:
+        got = sorted(ac.finditer(text))
+        want = sorted(
+            (m.start(), p)
+            for p in patterns
+            for m in re.finditer("(?=" + re.escape(p) + ")", text))
+        assert got == want, (text, got, want)
+
+
+def test_detect_mentions_substring_and_linking(spark):
+    """Substring detection finds non-token-aligned aliases the n-gram
+    join cannot (alias inside a longer word), and link_entities'
+    longest-match works at char granularity."""
+    from serd_spark.operators.kg import (
+        detect_mentions,
+        detect_mentions_substring,
+        link_entities,
+    )
+
+    ents = spark.createDataFrame(
+        [(1, "urn:kg:city:nyc", "new york", ["usa"]),
+         (2, "urn:kg:state:ny", "york", ["state"]),
+         (3, "urn:kg:x:ample", "ample", ["x"])],
+        "entity_id long, iri string, alias string, ctx array<string>")
+    turns = spark.createDataFrame(
+        [("c1", 0, "for example new york is big")],
+        "conv_id string, turn_idx int, text string")
+
+    m = detect_mentions_substring(turns, ents)
+    found = {(r.alias, r.pos) for r in m.collect()}
+    # 'ample' inside 'example' (char 6): invisible to the token join
+    assert ("ample", 6) in found
+    assert ("new york", 12) in found
+    assert ("york", 16) in found
+    tok = {r.alias for r in detect_mentions(turns, ents).collect()}
+    assert "ample" not in tok  # the token join cannot see it
+
+    linked = {(r.alias, r.entity_id)
+              for r in link_entities(m).collect()}
+    # char-granular longest-match: 'new york' suppresses inner 'york'
+    assert ("new york", 1) in linked
+    assert not any(a == "york" for a, _ in linked)
+    assert ("ample", 3) in linked
