@@ -433,6 +433,61 @@ def _o_stratified_sample(_: str) -> str:
     """
 
 
+def _q_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota mixing: exactly-N-per-language sample (counts, not
+    rates), lang_pred composed inline on one scan."""
+    from serd_spark.operators.text import lang_pred_col, stratified_take
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.withColumn("lang_pred", lang_pred_col(F.col("text")))
+    counts = {"en": 60, "de": 40, "fr": 40, "es": 40}
+    out = stratified_take(tagged, counts, strata_col="lang_pred",
+                          key_col="doc_id")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "lang_pred")
+
+
+def _o_stratified_take(_: str) -> str:
+    from serd_spark.operators.text import LANG_STOPWORDS
+
+    scores = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(text, '\\b{w}\\b'))"
+            for w in words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    score_cols = ",\n".join(
+        f"({expr}) AS score_{lang}" for lang, expr in sorted(scores.items()))
+    best = "GREATEST(" + ", ".join(
+        f"score_{lang}" for lang in sorted(LANG_STOPWORDS)) + ")"
+    pred = "'und'"
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = f"CASE WHEN score_{lang} = best THEN '{lang}' ELSE {pred} END"
+    counts_sql = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(
+            {"en": 60, "de": 40, "fr": 40, "es": 40}.items()))
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, text, {score_cols} FROM documents),
+    best AS (SELECT *, {best} AS best FROM scored),
+    pred AS (
+        SELECT doc_id,
+               CASE WHEN best = 0 THEN 'und' ELSE {pred} END AS lang_pred
+        FROM best),
+    quotas(lang_pred, n_take) AS (VALUES {counts_sql}),
+    ranked AS (
+        SELECT p.doc_id, p.lang_pred, q.n_take,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.lang_pred
+                   ORDER BY ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)),
+                                            1, 8))::BIGINT ASC,
+                            p.doc_id ASC) AS rk
+        FROM pred p JOIN quotas q USING (lang_pred))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang_pred
+    FROM ranked WHERE rk <= n_take
+    """
+
+
 def _q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.text import doc_length_profile
 
@@ -1448,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "vocab_topk": _q_vocab_topk,
         "stratified_sample": _q_stratified_sample,
+        "stratified_take": _q_stratified_take,
         "doc_profile": _q_doc_profile,
         "repetition": _q_repetition,
         "pii_scrub": _q_pii_scrub,
@@ -1493,6 +1549,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _o_token_counts(sf),
         "vocab_topk": _o_vocab_topk(sf),
         "stratified_sample": _o_stratified_sample(sf),
+        "stratified_take": _o_stratified_take(sf),
         "doc_profile": _o_doc_profile(sf),
         "repetition": _o_repetition(sf),
         "pii_scrub": _o_pii_scrub(sf),

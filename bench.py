@@ -38,7 +38,7 @@ HEADLINE = [
     "sorted_topk", "join_revenue", "set_ops", "exact_dedup", "dedup_keep_best",
     "minhash_lsh", "dedup_clusters", "ngram_jaccard", "simhash",
     "cosine_topk",
-    "quality", "langid", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "doc_profile", "repetition", "pii_scrub",
+    "quality", "langid", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "stratified_take", "doc_profile", "repetition", "pii_scrub",
     "contamination", "pack_chunks", "domain_stats", "clean_corpus",
     "graph_degrees", "pagerank",
     "embedding_neardup", "sessionize", "asof_attrib", "kg_parse_nt",

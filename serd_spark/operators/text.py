@@ -202,6 +202,35 @@ def stratified_sample(
     )
 
 
+def stratified_take(
+    docs: DataFrame, counts: dict, strata_col: str = "lang_pred",
+    key_col: str = "doc_id", salt: str = "",
+) -> DataFrame:
+    """Quota sampling: take EXACTLY ``counts[stratum]`` rows per
+    stratum (or all rows if the stratum is smaller) — the data-mixing
+    variant when targets are absolute counts, not rates.  Rows are
+    ranked inside each stratum by the deterministic md5 uniform (then
+    key for total order), so the selection is a pure function of
+    (key, salt): stable under retries, replays, and repartitioning,
+    and different salts draw independent quota samples.  One shuffle
+    (the per-stratum window)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    cnt_tbl = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(counts.items())],
+        f"{strata_col} string, _take int")
+    u = hash_uniform_col(F.col(key_col), salt)
+    w = Window.partitionBy(strata_col).orderBy(
+        u.asc(), F.col(key_col).asc())
+    return (
+        docs.join(F.broadcast(cnt_tbl), strata_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.col("_take"))
+        .drop("_rk", "_take")
+    )
+
+
 def doc_length_profile(
     docs: DataFrame, text_col: str = "text",
     percentiles: tuple = (0.5, 0.9, 0.99),

@@ -1022,3 +1022,28 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         r = nxt
     for v in nodes:
         assert abs(got[v] - round(float(r[idx[v]]), 6)) < 1e-9, v
+
+
+def test_stratified_take_exact_counts_and_determinism(spark):
+    """Quota sampling returns exactly min(quota, stratum size) rows
+    per stratum; selection is identical across repartitionings; a
+    different salt draws a different sample."""
+    from serd_spark.operators.text import stratified_take
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)],
+        "doc_id long, lang_pred string")
+    counts = {"a": 50, "b": 5000}  # b has only 100 rows
+    out = stratified_take(docs, counts)
+    by = {r[0]: r[1] for r in
+          out.groupBy("lang_pred").count().collect()}
+    assert by == {"a": 50, "b": 100}
+
+    again = stratified_take(docs.repartition(13), counts)
+    assert ({tuple(r) for r in out.collect()}
+            == {tuple(r) for r in again.collect()})
+
+    other = stratified_take(docs, counts, salt="v2")
+    a1 = {r.doc_id for r in out.where("lang_pred='a'").collect()}
+    a2 = {r.doc_id for r in other.where("lang_pred='a'").collect()}
+    assert a1 != a2
