@@ -357,6 +357,48 @@ def _o_minhash_lsh(_: str) -> str:
     """
 
 
+def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: candidates between the 'new batch' (every
+    10th doc) and the existing corpus — new side broadcast, corpus
+    scanned once, no self-join."""
+    from serd_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    new_docs = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return minhash_lsh_pairs_incremental(
+        corpus, new_docs, n_bands=4, shingle_k=3, max_bucket=64)
+
+
+def _o_minhash_incremental(_: str) -> str:
+    return """
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+    shingles AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3 THEN
+                list_transform(range(1, len(w)-1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+            ELSE [] END) AS shingle
+        FROM words),
+    mh AS (
+        SELECT doc_id, band,
+               MIN(md5(shingle || '#' || band)) AS minhash
+        FROM shingles, (SELECT unnest(range(0,4)) AS band)
+        GROUP BY doc_id, band),
+    corpus AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, minhash) AS bucket_n
+        FROM mh WHERE doc_id % 10 <> 0),
+    newb AS (SELECT * FROM mh WHERE doc_id % 10 = 0)
+    SELECT DISTINCT CAST(c.doc_id AS BIGINT) AS doc_corpus,
+                    CAST(n.doc_id AS BIGINT) AS doc_new
+    FROM corpus c JOIN newb n
+      ON c.band = n.band AND c.minhash = n.minhash
+    WHERE c.bucket_n <= 64 AND c.doc_id <> n.doc_id
+    """
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.text import vocab_topk
 
@@ -1491,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "dedup_keep_best": _q_dedup_keep_best,
         "minhash_lsh": _q_minhash_lsh,
+        "minhash_incremental": _q_minhash_incremental,
         "dedup_clusters": _q_dedup_clusters,
         "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
@@ -1537,6 +1580,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _o_exact_dedup(sf),
         "dedup_keep_best": _o_dedup_keep_best(sf),
         "minhash_lsh": _o_minhash_lsh(sf),
+        "minhash_incremental": _o_minhash_incremental(sf),
         "dedup_clusters": _o_dedup_clusters(sf),
         "graph_degrees": _o_graph_degrees(sf),
         "pagerank": _o_pagerank(sf),

@@ -143,6 +143,38 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_incremental(
+    corpus: DataFrame, new_docs: DataFrame, text_col: str = "text",
+    n_bands: int = 8, shingle_k: int = 3, max_bucket: int = 64,
+) -> DataFrame:
+    """Incremental near-dup candidates: pairs between a SMALL new
+    batch (today's crawl) and the big existing corpus — the daily
+    dedup shape, where a full corpus self-join would recompute
+    yesterday's work.
+
+    The new batch's band minhashes broadcast; the corpus is scanned
+    once and its bands join map-side — no corpus shuffle, no corpus
+    self-pairs.  The ``max_bucket`` guard applies to corpus-side
+    bucket sizes (the degenerate-bucket risk lives there).  Output:
+    (doc_corpus, doc_new) distinct candidate pairs — verify with
+    :func:`ngram_jaccard` as usual (it takes any pair table)."""
+    mh_c = minhash_bands(corpus, text_col, n_bands, shingle_k)
+    sized = mh_c.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band", "minhash")),
+    ).where(F.col("bucket_n") <= max_bucket)
+    mh_n = minhash_bands(new_docs, text_col, n_bands, shingle_k) \
+        .select("band", "minhash", F.col("doc_id").alias("doc_new"))
+    return (
+        sized.select("band", "minhash",
+                     F.col("doc_id").alias("doc_corpus"))
+        .join(F.broadcast(mh_n), ["band", "minhash"])
+        .where(F.col("doc_corpus") != F.col("doc_new"))
+        .select("doc_corpus", "doc_new")
+        .distinct()
+    )
+
+
 def lsh_dropped_buckets(
     docs: DataFrame, text_col: str = "text", n_bands: int = 8,
     shingle_k: int = 3, max_bucket: int = 64,

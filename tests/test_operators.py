@@ -1047,3 +1047,21 @@ def test_stratified_take_exact_counts_and_determinism(spark):
     a1 = {r.doc_id for r in out.where("lang_pred='a'").collect()}
     a2 = {r.doc_id for r in other.where("lang_pred='a'").collect()}
     assert a1 != a2
+
+
+def test_minhash_incremental_plan_no_corpus_selfjoin(spark):
+    """Incremental LSH must broadcast the new batch's bands and never
+    shuffle-join the corpus against itself."""
+    from serd_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new_docs = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    pairs = minhash_lsh_pairs_incremental(corpus, new_docs, n_bands=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    got = pairs.collect()
+    assert all(r.doc_corpus % 10 != 0 and r.doc_new % 10 == 0
+               for r in got)
+    assert got
