@@ -1417,6 +1417,60 @@ def _o_kg_entity_link(_: str) -> str:
     """
 
 
+def _q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention edge construction on top of the linking
+    pipeline: each customer turn links its nation and its region, so
+    the weighted edges are (nation, region) pairs with weight = the
+    customer count of that nation — ground truth the oracle derives
+    directly."""
+    from serd_spark.operators.kg import comention_edges, detect_mentions, \
+        link_entities
+
+    # reuse the kg_entity_link corpus construction
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    turns = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, F.col("n_regionkey") == region.r_regionkey)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+            .alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.concat(F.lit("customer "), "c_name",
+                     F.lit(" of nation "), "n_name",
+                     F.lit(" in region "), "r_name").alias("text"),
+        )
+    )
+    entities = (
+        nation.select(
+            F.col("n_nationkey").cast("long").alias("entity_id"),
+            F.concat(F.lit("urn:kg:nation:"), "n_nationkey").alias("iri"),
+            F.lower("n_name").alias("alias"),
+            F.array(F.lit("nation")).alias("ctx"))
+        .unionByName(region.select(
+            (F.col("r_regionkey") + 200).cast("long").alias("entity_id"),
+            F.concat(F.lit("urn:kg:region:"), "r_regionkey").alias("iri"),
+            F.lower("r_name").alias("alias"),
+            F.array(F.lit("region")).alias("ctx")))
+    )
+    linked = link_entities(detect_mentions(turns, entities))
+    return comention_edges(linked)
+
+
+def _o_kg_comention(_: str) -> str:
+    # each customer-turn co-mentions exactly (its nation, its region);
+    # iri_a < iri_b lexicographically: 'urn:kg:nation:...' <
+    # 'urn:kg:region:...' always
+    return """
+    SELECT 'urn:kg:nation:' || n_nationkey AS iri_a,
+           'urn:kg:region:' || n_regionkey AS iri_b,
+           COUNT(*) AS n_turns
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_regionkey
+    """
+
+
 def _q_kg_parse_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG pipeline plumbing with an EXACT oracle: the same chunked
     skew-split parse → quarantine → conv_metrics path as
@@ -1558,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,
         "kg_entity_link": _q_kg_entity_link,
+        "kg_comention": _q_kg_comention,
         "kg_parse_nt": _q_kg_parse_nt,
         "kg_parse_turtle": _q_kg_parse_turtle,
         "srp_ann": _q_srp_ann,
@@ -1605,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _o_sessionize(sf),
         "asof_attrib": _o_asof_attrib(sf),
         "kg_entity_link": _o_kg_entity_link(sf),
+        "kg_comention": _o_kg_comention(sf),
         "kg_parse_nt": _o_kg_parse_nt(sf),
         # kg_parse_turtle, srp_ann, ivf_ann: non-SQL-expressible
         # (iterative / bucketed ANN; rows-only checks)

@@ -258,6 +258,29 @@ def mentions_to_triples(
     ).distinct()
 
 
+def comention_edges(
+    linked: DataFrame, key_cols: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Weighted co-occurrence graph over linked mentions: one edge
+    per unordered entity pair that appears in the same turn, weighted
+    by the number of distinct turns co-mentioning them — the KG edge
+    layer that feeds the graph analytics (``operators/graph.py``).
+
+    Per-turn entity sets are small (mentions, not tokens), so the
+    within-turn pair join is bounded by mentions-per-turn squared —
+    never a corpus-scale product; the aggregation is one shuffle keyed
+    by the entity pair with map-side combine."""
+    uniq = linked.select(*key_cols, "iri").distinct()
+    a = uniq.select(*key_cols, F.col("iri").alias("iri_a"))
+    b = uniq.select(*key_cols, F.col("iri").alias("iri_b"))
+    return (
+        a.join(b, list(key_cols))
+        .where(F.col("iri_a") < F.col("iri_b"))
+        .groupBy("iri_a", "iri_b")
+        .agg(F.count("*").cast("long").alias("n_turns"))
+    )
+
+
 def kg_entity_link_pipeline(
     turns: DataFrame, entities: DataFrame, text_col: str = "text",
     max_gram: int = 2, key_cols: tuple = ("conv_id", "turn_idx"),
