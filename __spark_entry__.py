@@ -1471,6 +1471,60 @@ def _o_kg_comention(_: str) -> str:
     """
 
 
+def _q_kg_substring_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick substring mention detection with an EXACT oracle:
+    per-(conv, entity) occurrence counts.  DuckDB reconstructs counts
+    with the replace trick — (len(text) - len(replace(text, alias)))
+    / len(alias) — which equals the automaton's count because no
+    alias in this dictionary can overlap itself."""
+    from serd_spark.operators.kg import detect_mentions_substring
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    turns = cust.join(nation, cust.c_nationkey == nation.n_nationkey) \
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+            .alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.concat(F.lit("customer "), "c_name", F.lit(" of "),
+                     "n_name", F.lit(" loves "), F.lower("n_name"))
+            .alias("text"),
+        )
+    entities = nation.select(
+        F.col("n_nationkey").cast("long").alias("entity_id"),
+        F.concat(F.lit("urn:kg:nation:"), "n_nationkey").alias("iri"),
+        F.lower("n_name").alias("alias"),
+        F.array().cast("array<string>").alias("ctx"))
+    m = detect_mentions_substring(turns, entities)
+    return m.groupBy("conv_id", "iri").agg(
+        F.count("*").cast("long").alias("n_occ"))
+
+
+def _o_kg_substring_mentions(_: str) -> str:
+    # lowercased turn text contains each nation alias twice (the
+    # ' of <NAME> loves <name>' construction, case-folded by the
+    # detector); cross-check every (turn, alias) with the replace
+    # trick and keep hits
+    return """
+    WITH turns AS (
+        SELECT 'c' || c_custkey AS conv_id,
+               lower('customer ' || c_name || ' of ' || n_name
+                     || ' loves ' || lower(n_name)) AS text
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    ents AS (
+        SELECT 'urn:kg:nation:' || n_nationkey AS iri,
+               lower(n_name) AS alias
+        FROM nation),
+    hits AS (
+        SELECT t.conv_id, e.iri,
+               (length(t.text) - length(replace(t.text, e.alias, '')))
+               / length(e.alias) AS n_occ
+        FROM turns t CROSS JOIN ents e)
+    SELECT conv_id, iri, CAST(n_occ AS BIGINT) AS n_occ
+    FROM hits WHERE n_occ > 0
+    """
+
+
 def _q_kg_parse_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG pipeline plumbing with an EXACT oracle: the same chunked
     skew-split parse → quarantine → conv_metrics path as
@@ -1613,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attrib": _q_asof_attrib,
         "kg_entity_link": _q_kg_entity_link,
         "kg_comention": _q_kg_comention,
+        "kg_substring_mentions": _q_kg_substring_mentions,
         "kg_parse_nt": _q_kg_parse_nt,
         "kg_parse_turtle": _q_kg_parse_turtle,
         "srp_ann": _q_srp_ann,
@@ -1661,6 +1716,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attrib": _o_asof_attrib(sf),
         "kg_entity_link": _o_kg_entity_link(sf),
         "kg_comention": _o_kg_comention(sf),
+        "kg_substring_mentions": _o_kg_substring_mentions(sf),
         "kg_parse_nt": _o_kg_parse_nt(sf),
         # kg_parse_turtle, srp_ann, ivf_ann: non-SQL-expressible
         # (iterative / bucketed ANN; rows-only checks)

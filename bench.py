@@ -42,7 +42,7 @@ HEADLINE = [
     "contamination", "pack_chunks", "domain_stats", "clean_corpus",
     "graph_degrees", "pagerank",
     "embedding_neardup", "sessionize", "asof_attrib", "kg_parse_nt",
-    "kg_entity_link", "kg_comention",
+    "kg_entity_link", "kg_comention", "kg_substring_mentions",
 ]
 
 
