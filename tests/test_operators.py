@@ -1065,3 +1065,18 @@ def test_minhash_incremental_plan_no_corpus_selfjoin(spark):
     assert all(r.doc_corpus % 10 != 0 and r.doc_new % 10 == 0
                for r in got)
     assert got
+
+
+def test_global_cumsum_plan_no_global_window(spark):
+    """The distributed prefix sum must window WITHIN range partitions
+    (partitionBy _pid) — a window with an empty partition spec would
+    collapse the corpus onto one task at scale."""
+    from serd_spark.operators.packing import concat_chunk_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = concat_chunk_plan(docs, ctx_len=512) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "windowspecdefinition(_pid" in ln, ln
+    assert "BroadcastHashJoin" in plan, plan  # the offset-table join
