@@ -1229,6 +1229,35 @@ def _o_domain_stats(_: str) -> str:
     """
 
 
+def _q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering over the synthesized URL corpus: drop docs
+    linking any blocked domain (every 7th cdn shard + one shop)."""
+    from serd_spark.operators.text import drop_blocked_domains
+
+    cust = _t(spark, sf_dir, "customer")
+    docs = cust.select(
+        F.col("c_custkey").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("visit http://shop"), (F.col("c_custkey") % 50),
+            F.lit(".example.com/item/"), "c_custkey",
+            F.lit(" and http://cdn"), (F.col("c_custkey") % 7),
+            F.lit(".example.org/a b"),
+        ).alias("text"),
+    )
+    blocked = spark.createDataFrame(
+        [("cdn3.example.org",), ("shop7.example.com",)],
+        "domain string")
+    return drop_blocked_domains(docs, blocked).select("doc_id")
+
+
+def _o_domain_filter(_: str) -> str:
+    return """
+    SELECT CAST(c_custkey AS BIGINT) AS doc_id
+    FROM customer
+    WHERE c_custkey % 7 <> 3 AND c_custkey % 50 <> 7
+    """
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs sharing >=1 3-shingle
     with the (deterministic) eval subset.  Eval shingles broadcast —
@@ -1660,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "clean_corpus": _q_clean_corpus,
         "domain_stats": _q_domain_stats,
+        "domain_filter": _q_domain_filter,
         "contamination": _q_contamination,
         "pack_chunks": _q_pack_chunks,
         "embedding_neardup": _q_embedding_neardup,
@@ -1709,6 +1739,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _o_pii_scrub(sf),
         "clean_corpus": _o_clean_corpus(sf),
         "domain_stats": _o_domain_stats(sf),
+        "domain_filter": _o_domain_filter(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

@@ -39,7 +39,7 @@ HEADLINE = [
     "minhash_lsh", "minhash_incremental", "dedup_clusters", "ngram_jaccard", "simhash",
     "cosine_topk",
     "quality", "langid", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "stratified_take", "doc_profile", "repetition", "pii_scrub",
-    "contamination", "pack_chunks", "domain_stats", "clean_corpus",
+    "contamination", "pack_chunks", "domain_stats", "domain_filter", "clean_corpus",
     "graph_degrees", "pagerank",
     "embedding_neardup", "sessionize", "asof_attrib", "kg_parse_nt",
     "kg_entity_link", "kg_comention", "kg_substring_mentions",

@@ -330,6 +330,27 @@ def extract_urls(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def drop_blocked_domains(
+    docs: DataFrame, blocked: DataFrame, text_col: str = "text",
+) -> DataFrame:
+    """C4-style domain blocklist filter: drop every document whose
+    text links ANY blocked domain.  ``blocked`` is (domain) — tiny by
+    construction, so the flagging join broadcasts and the corpus never
+    shuffles: one scan to extract URLs, a map-side semi join to find
+    offending doc_ids (a small set), then a broadcast anti join back
+    to the corpus."""
+    offending = (
+        extract_urls(docs, text_col)
+        .join(F.broadcast(blocked.select("domain")), "domain",
+              "left_semi")
+        .select("doc_id").distinct()
+    )
+    return docs.join(
+        F.broadcast(offending),
+        docs["doc_id"].cast("long") == offending["doc_id"],
+        "left_anti")
+
+
 def domain_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-domain corpus stats (the C4/RefinedWeb-style domain
     filtering basis): URL occurrences and distinct documents per
