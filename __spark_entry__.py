@@ -1345,6 +1345,15 @@ def _o_embedding_neardup(_: str) -> str:
     """
 
 
+def _q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio boilerplate signal — rows-only (zlib is not
+    SQL-expressible); gated by pytest fixtures (templated text must
+    compress far below high-entropy text)."""
+    from serd_spark.operators.text import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.sessions import sessionize
 
@@ -1692,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_filter": _q_domain_filter,
         "contamination": _q_contamination,
         "pack_chunks": _q_pack_chunks,
+        "compression_quality": _q_compression_quality,
         "embedding_neardup": _q_embedding_neardup,
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,

@@ -40,7 +40,7 @@ HEADLINE = [
     "cosine_topk",
     "quality", "langid", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "stratified_take", "doc_profile", "repetition", "pii_scrub",
     "contamination", "pack_chunks", "domain_stats", "domain_filter", "clean_corpus",
-    "graph_degrees", "pagerank",
+    "graph_degrees", "pagerank", "compression_quality",
     "embedding_neardup", "sessionize", "asof_attrib", "kg_parse_nt",
     "kg_entity_link", "kg_comention", "kg_substring_mentions",
 ]

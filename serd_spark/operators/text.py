@@ -373,6 +373,39 @@ PII_PATTERNS = (
 )
 
 
+def compression_ratio(docs: DataFrame, text_col: str = "text",
+                      level: int = 6) -> DataFrame:
+    """Compression-ratio quality signal (RefinedWeb/MassiveText-style
+    boilerplate proxy): deflate ratio of the UTF-8 text — highly
+    repetitive/templated documents compress far below natural prose.
+    zlib with a FIXED level is deterministic bit-for-bit across
+    platforms (the format pins the algorithm), so the column is
+    retry/replay-stable; it is genuinely not SQL-expressible, so this
+    operator is pytest-gated (known-compressible vs high-entropy
+    fixtures) rather than oracle-paired.  Arrow-batched pandas UDF —
+    one scan, no shuffle."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: this module has `from __future__ import
+    # annotations`, which stringifies hints and breaks pandas_udf's
+    # eval-type inference — hint-less defaults to the scalar UDF
+    @pandas_udf("double")
+    def ratio(texts):
+        def one(t):
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+        return texts.map(one)
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ratio(F.col(text_col)).alias("compress_ratio"),
+    )
+
+
 def clean_corpus(
     docs: DataFrame, text_col: str = "text",
     min_quality: float = 0.5, lang: str = "en",

@@ -1080,3 +1080,27 @@ def test_global_cumsum_plan_no_global_window(spark):
         if "windowspecdefinition(" in ln:
             assert "windowspecdefinition(_pid" in ln, ln
     assert "BroadcastHashJoin" in plan, plan  # the offset-table join
+
+
+def test_compression_ratio_separates_boilerplate(spark):
+    """Templated/repetitive text must compress far below high-entropy
+    text; ratios are deterministic across runs (fixed zlib level)."""
+    import hashlib
+
+    from serd_spark.operators.text import compression_ratio
+
+    entropy = " ".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, "spam buy now! " * 200),
+         (2, entropy),
+         (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.compress_ratio
+           for r in compression_ratio(docs).collect()}
+    assert got[1] < 0.05          # boilerplate collapses
+    assert got[2] > 0.5           # high-entropy barely compresses
+    assert got[3] == 1.0          # empty-text convention
+    again = {r.doc_id: r.compress_ratio
+             for r in compression_ratio(docs).collect()}
+    assert got == again
