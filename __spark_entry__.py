@@ -695,7 +695,7 @@ def _q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = (
         ev.where(F.col("event_type") == "click")
         .withColumn("_rn", F.row_number().over(wc))
-        .where(F.col("_rn") == 1)
+        .where(F.col("_rn") <= 1)
         .select("user_id", "ts", "event_id", "value")
     )
     j = asof_join(purchases, clicks, by="user_id", ts_col="ts",
@@ -1321,6 +1321,247 @@ def _o_pack_chunks(_: str) -> str:
     """
 
 
+def _q_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate 5-gram fraction per document — the
+    'dedupable fraction' profile that motivates span-level dedup."""
+    from serd_spark.operators.dedup import dup_ngram_fraction
+
+    return dup_ngram_fraction(_t(spark, sf_dir, "documents"),
+                              shingle_k=5)
+
+
+def _o_dup_ngram(_: str) -> str:
+    return """
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(
+                CASE WHEN len(w) >= 5 THEN
+                    list_transform(range(1, len(w)-3),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             || ' ' || w[i+3] || ' ' || w[i+4])
+                ELSE [] END) AS shingle
+            FROM words)),
+    cnt AS (SELECT shingle, COUNT(*) AS nd FROM sh GROUP BY shingle)
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_shingles,
+           ROUND(CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / GREATEST(COUNT(*), 1), 6)
+               AS dup_fraction
+    FROM sh s JOIN cnt c USING (shingle)
+    GROUP BY s.doc_id
+    """
+
+
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the LSH pair graph (compact-forward
+    orientation in Spark; the orientation-invariant result lets the
+    oracle count with the simple id-orientation)."""
+    from serd_spark.operators.dedup import minhash_lsh_pairs
+    from serd_spark.operators.graph import triangle_counts
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_bands=4, shingle_k=3,
+        max_bucket=64)
+    return triangle_counts(pairs)
+
+
+def _o_triangle_count(_: str) -> str:
+    return f"""
+    WITH {_LSH_PAIRS_CTE},
+    tri AS (
+        SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+        FROM pairs e1
+        JOIN pairs e2 ON e1.doc_b = e2.doc_a
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+    verts AS (
+        SELECT x AS doc_id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           COUNT(*) AS n_triangles
+    FROM verts GROUP BY doc_id
+    """
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core peel (k=3) of the LSH pair graph — exact
+    oracle: the SQL unrolls the same peel rounds as chained CTEs."""
+    from serd_spark.operators.dedup import minhash_lsh_pairs
+    from serd_spark.operators.graph import kcore_peel
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_bands=4, shingle_k=3,
+        max_bucket=64)
+    return kcore_peel(pairs, k=3, n_rounds=3)
+
+
+def _o_kcore(_: str) -> str:
+    k, n_rounds = 3, 3
+    ctes = ["e0 AS (SELECT u, v FROM edges)"]
+    for r in range(1, n_rounds + 1):
+        ctes.append(f"""k{r} AS (
+            SELECT u FROM e{r - 1} GROUP BY u HAVING COUNT(*) >= {k})""")
+        ctes.append(f"""e{r} AS (
+            SELECT e.u, e.v FROM e{r - 1} e
+            JOIN k{r} a ON e.u = a.u
+            JOIN k{r} b ON e.v = b.u)""")
+    return f"""
+    WITH {_LSH_PAIRS_CTE},
+    {','.join(ctes)}
+    SELECT CAST(u AS BIGINT) AS doc_id, COUNT(*) AS degree
+    FROM e{n_rounds} GROUP BY u
+    """
+
+
+def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.text import bigram_pmi
+
+    return bigram_pmi(_t(spark, sf_dir, "documents"), k=40,
+                      min_count=5)
+
+
+def _o_bigram_pmi(_: str) -> str:
+    return """
+    WITH t AS (
+        SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents),
+    uc AS (
+        SELECT word, COUNT(*) AS c_w FROM (
+            SELECT unnest(w) AS word FROM t)
+        WHERE word <> '' GROUP BY word),
+    n AS (SELECT CAST(SUM(c_w) AS DOUBLE) AS n_tok FROM uc),
+    bc AS (
+        SELECT bigram, COUNT(*) AS c_ab FROM (
+            SELECT unnest(
+                CASE WHEN len(w) >= 2 THEN
+                    list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])
+                ELSE [] END) AS bigram
+            FROM t)
+        GROUP BY bigram HAVING COUNT(*) >= 5),
+    parts AS (
+        SELECT bigram, c_ab,
+               string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2
+        FROM bc)
+    SELECT p.bigram, CAST(p.c_ab AS BIGINT) AS n_pair,
+           ROUND(ln(p.c_ab * n.n_tok / (a.c_w * b.c_w)), 6) AS pmi
+    FROM parts p
+    JOIN uc a ON p.w1 = a.word
+    JOIN uc b ON p.w2 = b.word
+    CROSS JOIN n
+    WHERE p.w1 <> '' AND p.w2 <> ''
+    ORDER BY pmi DESC, p.bigram ASC
+    LIMIT 40
+    """
+
+
+def _q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.text import source_quality_stats
+
+    return source_quality_stats(_t(spark, sf_dir, "documents"))
+
+
+def _o_source_quality(_: str) -> str:
+    stop = ["the", "and", "of", "to", "is", "a", "in", "it", "for", "on"]
+    hits = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in stop)
+    return f"""
+    WITH q AS (
+        SELECT source,
+          ROUND(
+            LEAST(1.0,
+                  len(string_split_regex(trim(text), '\\s+')) / 64.0)
+                * 0.4
+            + LEAST(1.0, ROUND(({hits})
+                / GREATEST(len(string_split_regex(trim(text), '\\s+')),
+                           1), 6) * 4.0) * 0.4
+            + CASE WHEN ROUND(len(regexp_extract_all(text, '[.,!?;:]'))
+                              / GREATEST(length(text), 1), 6) < 0.1
+                   THEN 0.2 ELSE 0.0 END, 6) AS qs
+        FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(qs), 6) AS avg_quality,
+           MIN(qs) AS min_quality,
+           MAX(qs) AS max_quality
+    FROM q GROUP BY source
+    """
+
+
+def _kg_turns_entities(spark: SparkSession, sf_dir: str,
+                       persons: bool = True):
+    """Shared KG fixture: customer⋈nation⋈region turns + the alias
+    dictionary (nation entities, optional ambiguous person homonyms,
+    region entities) — ground truth known by construction."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    turns = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, F.col("n_regionkey") == region.r_regionkey)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+            .alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.concat(F.lit("customer "), "c_name",
+                     F.lit(" of nation "), "n_name",
+                     F.lit(" in region "), "r_name").alias("text"),
+        )
+    )
+    entities = nation.select(
+        F.col("n_nationkey").cast("long").alias("entity_id"),
+        F.concat(F.lit("urn:kg:nation:"), "n_nationkey").alias("iri"),
+        F.lower("n_name").alias("alias"),
+        F.array(F.lit("nation")).alias("ctx"))
+    if persons:
+        entities = entities.unionByName(nation.select(
+            (F.col("n_nationkey") + 100).cast("long").alias("entity_id"),
+            F.concat(F.lit("urn:kg:person:"), "n_nationkey").alias("iri"),
+            F.lower("n_name").alias("alias"),
+            F.array(F.lit("person")).alias("ctx")))
+    entities = entities.unionByName(region.select(
+        (F.col("r_regionkey") + 200).cast("long").alias("entity_id"),
+        F.concat(F.lit("urn:kg:region:"), "r_regionkey").alias("iri"),
+        F.lower("r_name").alias("alias"),
+        F.array(F.lit("region")).alias("ctx")))
+    return turns, entities
+
+
+def _q_kg_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based relation extraction on the KG fixture: the token
+    gap between the linked nation mention and the linked region
+    mention is always 'in region', so every customer turn emits
+    exactly (nation IRI, urn:rel:located_in, region IRI) — ground
+    truth the oracle derives directly from customer⋈nation⋈region."""
+    from serd_spark.operators.kg import detect_mentions, \
+        extract_relations, link_entities
+
+    turns, entities = _kg_turns_entities(spark, sf_dir)
+    linked = link_entities(detect_mentions(turns, entities),
+                           keep_toks=True)
+    patterns = spark.createDataFrame(
+        [("in region", "urn:rel:located_in")],
+        "gap_text string, pred string")
+    rel = extract_relations(linked, patterns)
+    return rel.select("conv_id", "s", "p", "o")
+
+
+def _o_kg_relations(_: str) -> str:
+    return """
+    SELECT 'c' || c_custkey AS conv_id,
+           'urn:kg:nation:' || n_nationkey AS s,
+           'urn:rel:located_in' AS p,
+           'urn:kg:region:' || n_regionkey AS o
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """
+
+
 # -- non-SQL-expressible ops (rows-only checks; gated by pytest suites) --
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,6 +1593,20 @@ def _q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.text import compression_ratio
 
     return compression_ratio(_t(spark, sf_dir, "documents"))
+
+
+def _q_bpe_tokens_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-BPE token counts over documents with the committed fixture
+    merges table — rows-only (a rank-ordered merge loop is not
+    SQL-expressible).  This row puts the Arrow/pandas-UDF plumbing
+    under the driver's rows/schema check; the SEMANTICS are gated by
+    pytest golden encode vectors plus hypothesis properties
+    (determinism, encode-concat losslessness, merge-prefix stability)
+    in tests/test_bpe.py."""
+    from serd_spark.operators.bpe import bpe_token_count, fixture_merges
+
+    return bpe_token_count(_t(spark, sf_dir, "documents"),
+                           fixture_merges())
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1398,38 +1653,7 @@ def _q_kg_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves are unit-gated in tests/test_kg_stages.py."""
     from serd_spark.operators.kg import kg_entity_link_pipeline
 
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    turns = (
-        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
-        .join(region, F.col("n_regionkey") == region.r_regionkey)
-        .select(
-            F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
-            .alias("conv_id"),
-            F.lit(0).cast("int").alias("turn_idx"),
-            F.concat(F.lit("customer "), "c_name",
-                     F.lit(" of nation "), "n_name",
-                     F.lit(" in region "), "r_name").alias("text"),
-        )
-    )
-    entities = (
-        nation.select(
-            F.col("n_nationkey").cast("long").alias("entity_id"),
-            F.concat(F.lit("urn:kg:nation:"), "n_nationkey").alias("iri"),
-            F.lower("n_name").alias("alias"),
-            F.array(F.lit("nation")).alias("ctx"))
-        .unionByName(nation.select(
-            (F.col("n_nationkey") + 100).cast("long").alias("entity_id"),
-            F.concat(F.lit("urn:kg:person:"), "n_nationkey").alias("iri"),
-            F.lower("n_name").alias("alias"),
-            F.array(F.lit("person")).alias("ctx")))
-        .unionByName(region.select(
-            (F.col("r_regionkey") + 200).cast("long").alias("entity_id"),
-            F.concat(F.lit("urn:kg:region:"), "r_regionkey").alias("iri"),
-            F.lower("r_name").alias("alias"),
-            F.array(F.lit("region")).alias("ctx")))
-    )
+    turns, entities = _kg_turns_entities(spark, sf_dir)
     return kg_entity_link_pipeline(turns, entities)
 
 
@@ -1464,34 +1688,8 @@ def _q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.kg import comention_edges, detect_mentions, \
         link_entities
 
-    # reuse the kg_entity_link corpus construction
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    turns = (
-        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
-        .join(region, F.col("n_regionkey") == region.r_regionkey)
-        .select(
-            F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
-            .alias("conv_id"),
-            F.lit(0).cast("int").alias("turn_idx"),
-            F.concat(F.lit("customer "), "c_name",
-                     F.lit(" of nation "), "n_name",
-                     F.lit(" in region "), "r_name").alias("text"),
-        )
-    )
-    entities = (
-        nation.select(
-            F.col("n_nationkey").cast("long").alias("entity_id"),
-            F.concat(F.lit("urn:kg:nation:"), "n_nationkey").alias("iri"),
-            F.lower("n_name").alias("alias"),
-            F.array(F.lit("nation")).alias("ctx"))
-        .unionByName(region.select(
-            (F.col("r_regionkey") + 200).cast("long").alias("entity_id"),
-            F.concat(F.lit("urn:kg:region:"), "r_regionkey").alias("iri"),
-            F.lower("r_name").alias("alias"),
-            F.array(F.lit("region")).alias("ctx")))
-    )
+    # the kg_entity_link fixture without the person homonyms
+    turns, entities = _kg_turns_entities(spark, sf_dir, persons=False)
     linked = link_entities(detect_mentions(turns, entities))
     return comention_edges(linked)
 
@@ -1683,6 +1881,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
+        "triangle_count": _q_triangle_count,
+        "kcore": _q_kcore,
+        "dup_ngram": _q_dup_ngram,
+        "bigram_pmi": _q_bigram_pmi,
+        "source_quality": _q_source_quality,
+        "kg_relations": _q_kg_relations,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
@@ -1702,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "pack_chunks": _q_pack_chunks,
         "compression_quality": _q_compression_quality,
+        "bpe_tokens_real": _q_bpe_tokens_real,
         "embedding_neardup": _q_embedding_neardup,
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,
@@ -1734,6 +1939,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _o_dedup_clusters(sf),
         "graph_degrees": _o_graph_degrees(sf),
         "pagerank": _o_pagerank(sf),
+        "triangle_count": _o_triangle_count(sf),
+        "kcore": _o_kcore(sf),
+        "dup_ngram": _o_dup_ngram(sf),
+        "bigram_pmi": _o_bigram_pmi(sf),
+        "source_quality": _o_source_quality(sf),
+        "kg_relations": _o_kg_relations(sf),
         "ngram_jaccard": _o_ngram_jaccard(sf),
         "simhash": _o_simhash(sf),
         "cosine_topk": _o_cosine_topk(sf),
@@ -1759,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_comention": _o_kg_comention(sf),
         "kg_substring_mentions": _o_kg_substring_mentions(sf),
         "kg_parse_nt": _o_kg_parse_nt(sf),
-        # kg_parse_turtle, srp_ann, ivf_ann: non-SQL-expressible
-        # (iterative / bucketed ANN; rows-only checks)
+        # kg_parse_turtle, srp_ann, ivf_ann, compression_quality,
+        # bpe_tokens_real: non-SQL-expressible (Turtle grammar /
+        # bucketed ANN / zlib / BPE merge loop; rows-only checks)
     }

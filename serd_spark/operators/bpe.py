@@ -134,6 +134,23 @@ def bpe_encode(text: str, encode_word) -> list[str]:
     return out
 
 
+def fixture_merges() -> list[tuple[str, str]]:
+    """The committed fixture merges table
+    (``serd_spark/fixtures/bpe_merges.json``, trained offline with
+    :func:`train_bpe` over the sf0.001 documents corpus; the hapax
+    cutoff stopped it at 93 merges).  It backs the ``bpe_tokens_real``
+    contract query — a real pipeline loads its production tokenizer's
+    merges the same way (a small immutable artifact shipped with the
+    job, never recomputed per run)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "fixtures", "bpe_merges.json")
+    with open(path) as f:
+        return [tuple(m) for m in json.load(f)]
+
+
 def bpe_token_count(docs, merges: list[tuple[str, str]],
                     text_col: str = "text"):
     """(doc_id, bpe_tokens_real) via an Arrow-batched pandas UDF —

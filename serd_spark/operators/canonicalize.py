@@ -27,7 +27,7 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     w = Window.partitionBy(*QUAD_COLS).orderBy("conv_id", "stmt_idx")
     return (
         triples.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        .where(F.col("_rn") <= 1)
         .drop("_rn")
     )
 

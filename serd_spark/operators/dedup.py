@@ -225,9 +225,23 @@ def ngram_jaccard(
     ).where(F.col("n_inter") > 0)  # match the intersect-join form
 
 
+def eval_shingle_set(
+    eval_docs: DataFrame, text_col: str = "text", shingle_k: int = 3,
+) -> DataFrame:
+    """The distinct shingle set of an eval/benchmark corpus — the
+    broadcast side of decontamination, factored out so a streaming
+    caller can materialize it ONCE and reuse it across micro-batches
+    (see ``streaming.ingest.start_streaming_contamination``)."""
+    return (
+        shingle_arrays(eval_docs, text_col, shingle_k)
+        .select(F.explode("sh").alias("shingle")).distinct()
+    )
+
+
 def contamination_flags(
-    train: DataFrame, eval_docs: DataFrame, text_col: str = "text",
-    shingle_k: int = 3,
+    train: DataFrame, eval_docs: DataFrame | None = None,
+    text_col: str = "text", shingle_k: int = 3,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing ≥1
     k-word shingle with ANY document in the (small) eval/benchmark
@@ -241,17 +255,59 @@ def contamination_flags(
     joined — no shuffle of the corpus, map-side only, then one
     aggregation keyed by doc_id.  Output: (doc_id, n_hits) for
     CONTAMINATED train docs only (n_hits = distinct overlapping
-    shingles); anti-join the result to drop them."""
-    ev = (
-        shingle_arrays(eval_docs, text_col, shingle_k)
-        .select(F.explode("sh").alias("shingle")).distinct()
-    )
+    shingles); anti-join the result to drop them.
+
+    Pass ``eval_shingles`` (from :func:`eval_shingle_set`, typically
+    cached) instead of ``eval_docs`` to skip recomputing the eval side
+    — the streaming / repeated-batch form."""
+    if eval_shingles is not None:
+        ev = eval_shingles
+    else:
+        ev = eval_shingle_set(eval_docs, text_col, shingle_k)
     tr = shingle_arrays(train, text_col, shingle_k).select(
         "doc_id", F.explode(F.array_distinct("sh")).alias("shingle"))
     return (
         tr.join(F.broadcast(ev), "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+def dup_ngram_fraction(
+    docs: DataFrame, text_col: str = "text", shingle_k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate n-gram fraction: for each document,
+    the fraction of its DISTINCT k-word shingles that also occur in
+    ≥ ``min_docs`` documents overall — the "dedupable fraction"
+    profile that decides whether a corpus needs sub-document (span)
+    dedup at all, and the cross-doc complement of the within-doc
+    ``repetition_features``.  (C4's line dedup and the suffix-array
+    span dedup both act on exactly the shingles this flags.)
+
+    Scale shape: one corpus scan explodes distinct shingles; one
+    aggregation keyed by shingle counts distinct docs (map-side
+    combine); one shuffle join back on the shingle key (both sides
+    hash-partition by shingle — no broadcast assumption, the
+    duplicate-shingle table is corpus-scale); final per-doc agg.
+    Output: (doc_id, n_shingles, n_dup_shingles, dup_fraction)."""
+    sh = (
+        shingle_arrays(docs, text_col, shingle_k)
+        .select("doc_id",
+                F.explode(F.array_distinct("sh")).alias("shingle"))
+    )
+    counts = sh.groupBy("shingle").agg(
+        F.count("*").alias("_nd"))
+    dup = F.when(F.col("_nd") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+    return (
+        sh.join(counts, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shingles"),
+             F.sum(dup).cast("long").alias("n_dup_shingles"))
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_shingles")
+                    / F.greatest(F.col("n_shingles"), F.lit(1)), 6))
     )
 
 
@@ -457,9 +513,13 @@ def exact_dedup_keep_best(
                         "doc_id")
     w = Window.partitionBy("content_hash").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc())
+    # `_rn <= 1`, not `== 1`: the <= form matches Catalyst's
+    # InferWindowGroupLimit pattern, planning per-partition top-1
+    # heaps BELOW the exchange (measured ~2x on the window stage);
+    # identical rows since row_number is unique per partition.
     return (
         joined.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        .where(F.col("_rn") <= 1)
         .select("content_hash",
                 F.col("doc_id").alias("rep_doc_id"),
                 "quality_score")

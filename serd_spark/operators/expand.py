@@ -22,7 +22,7 @@ def latest_prefixes(prefix_log: DataFrame) -> DataFrame:
     w = Window.partitionBy("name").orderBy(F.col("stmt_idx").desc())
     return (
         prefix_log.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        .where(F.col("_rn") <= 1)
         .select("name", "uri", F.col("stmt_idx").alias("priority"))
     )
 

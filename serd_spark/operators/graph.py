@@ -39,6 +39,91 @@ def degree_stats(pairs: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_nodes"))
 
 
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over the undirected
+    pair graph: (doc_id, n_triangles) for every node in ≥1 triangle —
+    the local-clustering signal that separates genuine near-dup
+    cliques (triangle-dense) from chains of borderline LSH pairs
+    (triangle-free), deciding which components are safe to collapse.
+
+    Compact-forward orientation: every edge points from its lower
+    (degree, id) endpoint to the higher one, so each triangle is
+    enumerated exactly once from its minimum-rank vertex and the wedge
+    join fans out by the ORIENTED out-degree — O(sqrt(|E|)) per node
+    for any graph, the classic bound that keeps hub nodes (template
+    spam with millions of LSH neighbors) from generating degree²
+    wedge candidates.  Three shuffles (degree agg, wedge join,
+    closing-edge join); the triangle set is orientation-invariant, so
+    the SQL oracle counts with the simple id-orientation instead."""
+    e = (pairs.select(
+            F.least(F.col("doc_a"), F.col("doc_b")).alias("a"),
+            F.greatest(F.col("doc_a"), F.col("doc_b")).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    deg = (e.select(F.col("a").alias("nd"))
+           .union(e.select(F.col("b").alias("nd")))
+           .groupBy("nd").agg(F.count("*").alias("d")))
+    ed = (e.join(deg.select(F.col("nd").alias("a"),
+                            F.col("d").alias("da")), "a")
+          .join(deg.select(F.col("nd").alias("b"),
+                           F.col("d").alias("db")), "b"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oe = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    left = oe.select("u", "v", "dv")
+    right = oe.select(F.col("u").alias("u2"), F.col("v").alias("w"),
+                      F.col("dv").alias("dw"))
+    wedges = (
+        left.join(right, left.u == right.u2)
+        .where((F.col("dv") < F.col("dw"))
+               | ((F.col("dv") == F.col("dw"))
+                  & (F.col("v") < F.col("w"))))
+        .select("u", "v", "w")
+    )
+    closing = oe.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
+def kcore_peel(
+    pairs: DataFrame, k: int = 2, n_rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core peeling over the undirected pair graph:
+    each round recomputes degrees within the surviving subgraph and
+    removes nodes with degree < ``k``; after exactly ``n_rounds``
+    rounds, output (doc_id, degree) of the survivors.  At convergence
+    this is the k-core — the density filter that separates genuine
+    near-dup communities (which survive peeling) from chains and
+    stragglers (which unravel).
+
+    Fixed round count (not convergence-driven) keeps the operator
+    deterministic and exactly SQL-mirrorable — the oracle unrolls the
+    same rounds as chained CTEs, like ``pagerank``.  Per round: one
+    map-side-combined degree aggregation + a semi join on each
+    endpoint (the keep-set is node-sized, far smaller than edges);
+    edges localCheckpoint per round (lineage truncation — the same
+    iterative-plan requirement as ``dup_clusters``/``pagerank``)."""
+    edges = _sym_edges(pairs).localCheckpoint()
+    for _ in range(n_rounds):
+        keep = (edges.groupBy("u").agg(F.count("*").alias("_d"))
+                .where(F.col("_d") >= k).select("u"))
+        edges = (
+            edges.join(keep, "u", "leftsemi")
+            .join(keep.select(F.col("u").alias("v")), "v", "leftsemi")
+            .localCheckpoint()
+        )
+    return (edges.groupBy("u")
+            .agg(F.count("*").cast("long").alias("degree"))
+            .select(F.col("u").alias("doc_id"), "degree"))
+
+
 def pagerank(
     pairs: DataFrame, n_iter: int = 5, damping: float = 0.85,
 ) -> DataFrame:
@@ -48,6 +133,12 @@ def pagerank(
     node then has out-degree ≥ 1: no dangling-mass term needed).
 
     rank_{k+1}(v) = (1-d)/n + d * Σ_{u→v} rank_k(u) / outdeg(u)
+
+    Float caveat: 6-dp rounding absorbs JVM-vs-oracle summation-order
+    differences on the contract fixtures (green at both SFs), but an
+    iterative float accumulation CAN land on a rounding boundary on
+    other data — when reusing this against a new oracle, prefer a
+    tolerance comparison (or coarser rounding) over an exact hash.
     """
     edges = _sym_edges(pairs).localCheckpoint()
     nodes = edges.select("u").distinct()

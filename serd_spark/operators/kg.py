@@ -140,6 +140,13 @@ class AhoCorasick:
                 yield i - len(pat) + 1, pat
 
 
+# Executor-process cache: AC automata keyed by the identity of the
+# deserialized broadcast dictionary (PySpark caches a broadcast's
+# value per worker process, so the id is stable there) — the automaton
+# builds ONCE per executor, not once per task.
+_AC_CACHE: dict = {}
+
+
 def detect_mentions_substring(
     turns: DataFrame, entities: DataFrame, text_col: str = "text",
     key_cols: tuple = ("conv_id", "turn_idx"),
@@ -153,24 +160,32 @@ def detect_mentions_substring(
     Output mirrors ``detect_mentions`` (``pos`` is a CHAR offset and
     ``n_gram`` the alias char length, so :func:`link_entities`'s
     scoring + longest-match work unchanged at char granularity).
-    The dictionary is collected driver-side and ships in the UDF
-    closure — same broadcast-size assumption as the join path."""
+    The dictionary ships via ``SparkContext.broadcast`` (torrent
+    transport: ONE copy per executor, not a per-task closure pickle —
+    the difference between bounded and per-task-linear network cost at
+    millions of aliases), and the automaton is built once per executor
+    process from the broadcast value.  Key-column types in the output
+    schema are taken from ``turns.schema`` so any (name, type) key
+    combination round-trips through the Arrow batches unchanged."""
     ents = entities.select("entity_id", "iri", "alias", "ctx").collect()
     by_alias: dict = {}
     for r in ents:
         by_alias.setdefault(r.alias, []).append(
             (r.entity_id, r.iri, list(r.ctx)))
-    patterns = sorted(by_alias)
+    bc = turns.sparkSession.sparkContext.broadcast(by_alias)
 
     out_schema = (
-        ", ".join(f"{c} string" if c == "conv_id" else f"{c} int"
+        ", ".join(f"{c} {turns.schema[c].dataType.simpleString()}"
                   for c in key_cols)
         + ", pos int, n_gram int, alias string, entity_id long,"
           " iri string, ctx array<string>, toks array<string>"
     )
 
     def run(batches):
-        ac = AhoCorasick(patterns)
+        by_alias = bc.value
+        ac = _AC_CACHE.get(id(by_alias))
+        if ac is None:
+            ac = _AC_CACHE[id(by_alias)] = AhoCorasick(sorted(by_alias))
         for pdf in batches:
             rows = []
             for t in pdf.itertuples(index=False):
@@ -194,6 +209,7 @@ def detect_mentions_substring(
 
 def link_entities(
     mentions: DataFrame, key_cols: tuple = ("conv_id", "turn_idx"),
+    keep_toks: bool = False,
 ) -> DataFrame:
     """Entity-link scoring: for each mention (turn + position +
     alias), rank candidate entities by
@@ -205,7 +221,12 @@ def link_entities(
     context ties; entity_id breaks exact ties deterministically.
     Longer grams win over shorter ones at the same position (the
     standard longest-match rule), so a 2-gram mention suppresses the
-    1-gram mentions it covers."""
+    1-gram mentions it covers.
+
+    ``keep_toks=True`` carries the turn's token array through to the
+    output (constant per mention, taken with ``first``) so a
+    downstream stage — :func:`extract_relations` — can inspect the
+    tokens BETWEEN mentions without rejoining the corpus."""
     n_cand = F.count("*").over(
         Window.partitionBy(*key_cols, "pos", "n_gram", "alias"))
     scored = mentions.withColumn(
@@ -214,8 +235,9 @@ def link_entities(
                 + 1.0 / n_cand, 6))
     w = Window.partitionBy(*key_cols, "pos", "n_gram", "alias").orderBy(
         F.col("score").desc(), F.col("entity_id").asc())
+    drop = ["_rn", "ctx"] if keep_toks else ["_rn", "toks", "ctx"]
     best = scored.withColumn("_rn", F.row_number().over(w)) \
-        .where(F.col("_rn") == 1).drop("_rn", "toks", "ctx")
+        .where(F.col("_rn") <= 1).drop(*drop)
     # longest-match: drop a k-gram mention if a longer linked gram
     # covers any of its positions (covered = [pos, pos + n_gram)).
     # Formulated as explode-covered-positions → per-position max
@@ -228,18 +250,22 @@ def link_entities(
     mention_cols = [*key_cols, "pos", "n_gram", "alias",
                     "entity_id", "iri", "score"]
     exploded = best.select(
-        *mention_cols,
+        *mention_cols, *(["toks"] if keep_toks else []),
         F.explode(F.sequence(
             F.col("pos"), F.col("pos") + F.col("n_gram") - 1))
         .alias("_cover_pos"))
     w_pos = Window.partitionBy(*key_cols, "_cover_pos")
+    aggs = [F.max("_mx").alias("_maxcover")]
+    if keep_toks:
+        aggs.append(F.first("toks").alias("toks"))
     keep = (
         exploded.withColumn("_mx", F.max("n_gram").over(w_pos))
         .groupBy(*mention_cols)
-        .agg(F.max("_mx").alias("_maxcover"))
+        .agg(*aggs)
         .where(F.col("n_gram") == F.col("_maxcover"))
     )
-    return keep.select(*mention_cols)
+    out_cols = [*mention_cols, "toks"] if keep_toks else mention_cols
+    return keep.select(*out_cols)
 
 
 def mentions_to_triples(
@@ -278,6 +304,43 @@ def comention_edges(
         .where(F.col("iri_a") < F.col("iri_b"))
         .groupBy("iri_a", "iri_b")
         .agg(F.count("*").cast("long").alias("n_turns"))
+    )
+
+
+def extract_relations(
+    linked: DataFrame, patterns: DataFrame,
+    key_cols: tuple = ("conv_id", "turn_idx"), max_gap: int = 4,
+) -> DataFrame:
+    """Pattern-based relation extraction between linked mentions:
+    for every ordered mention pair (m₁ strictly before m₂) in the same
+    turn, the token GAP between them is matched against a broadcast
+    pattern table ``(gap_text: string, pred: string)``; a hit emits
+    the triple (m₁'s IRI, pred, m₂'s IRI) — the Hearst-style surface
+    pattern stage that turns co-mentions into TYPED edges.
+
+    ``linked`` must come from ``link_entities(..., keep_toks=True)``
+    (token-n-gram path: ``pos`` is a token index) so the gap slice
+    needs no rejoin to the corpus.  ``max_gap`` bounds the pair join
+    (relations span a few tokens, not whole documents), keeping the
+    within-turn product mentions × nearby-mentions, never mentions².
+    Output: key_cols + (s, p, o), distinct per turn."""
+    a = linked.select(
+        *key_cols, F.col("pos").alias("_pa"),
+        F.col("n_gram").alias("_ga"), F.col("iri").alias("s"), "toks")
+    b = linked.select(
+        *key_cols, F.col("pos").alias("_pb"), F.col("iri").alias("o"))
+    gap_start = F.col("_pa") + F.col("_ga")   # 0-based, exclusive of m1
+    gap_len = F.col("_pb") - gap_start
+    pairs = (
+        a.join(b, list(key_cols))
+        .where((gap_len >= 0) & (gap_len <= max_gap))
+        .withColumn("gap_text", F.concat_ws(
+            " ", F.slice(F.col("toks"), gap_start + 1, gap_len)))
+    )
+    return (
+        pairs.join(F.broadcast(patterns), "gap_text")
+        .select(*key_cols, "s", F.col("pred").alias("p"), "o")
+        .distinct()
     )
 
 

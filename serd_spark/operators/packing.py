@@ -44,9 +44,13 @@ def global_cumsum(
     # the within-partition running order nondeterministic.)
     local = d.withColumn("_lcum", F.sum(value_col).over(w)) \
         .localCheckpoint()
-    # one row per partition: cheap driver-side offset fold
+    # one row per partition: cheap driver-side offset fold.  The
+    # partition total is SUM(value_col), not max of the running sum —
+    # those agree only for non-negative values, and this is advertised
+    # as a general exact running sum (deltas can be negative).
     totals = sorted(
-        local.groupBy("_pid").agg(F.max("_lcum").alias("t")).collect(),
+        local.groupBy("_pid").agg(
+            F.sum(value_col).alias("t")).collect(),
         key=lambda r: r._pid)
     offsets, acc = {}, 0
     for r in totals:

@@ -344,15 +344,25 @@ def ivf_assign(
         cn = np.linalg.norm(C, axis=1)
         cell_ids = np.array([r.cell for r in cent_rows], dtype=np.int64)
 
+        dim = C.shape[1]
+        cn_safe = np.where(cn == 0, 1.0, cn)
+
         @F.pandas_udf("long")
         def assign(vs: pd.Series) -> pd.Series:
             if not len(vs):
                 return pd.Series([], dtype="int64")
-            X = np.array(vs.tolist(), dtype=np.float64)
+            # null embeddings become zero vectors (handled below)
+            X = np.array(
+                [v if v is not None else [0.0] * dim for v in vs],
+                dtype=np.float64)
+            xn = np.linalg.norm(X, axis=1)
             sims = (X @ C.T) / (
-                np.linalg.norm(X, axis=1)[:, None] * cn[None, :])
+                np.where(xn == 0, 1.0, xn)[:, None] * cn_safe[None, :])
             # argmax returns the FIRST max — rows sorted by cell, so
-            # ties break to the smallest cell like the window path
+            # ties break to the smallest cell like the window path.
+            # Zero-norm/null rows have all-zero sims, so they fall
+            # deterministically to the smallest cell instead of
+            # propagating NaN through argmax.
             return pd.Series(cell_ids[np.argmax(sims, axis=1)])
 
         return v.withColumn("cell", assign(F.col("v"))), cents
@@ -365,7 +375,7 @@ def ivf_assign(
         F.col("csim").desc(), F.col("cell").asc())
     assigned = (
         scored.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") == 1).drop("_r", "csim")
+        .where(F.col("_r") <= 1).drop("_r", "csim")
     )
     return assigned, cents
 

@@ -164,6 +164,62 @@ def vocab_topk(docs: DataFrame, text_col: str = "text",
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def bigram_pmi(
+    docs: DataFrame, text_col: str = "text", k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information —
+    the vocabulary-building / tokenizer-diagnostics pass (which word
+    pairs behave as units; cf. the phrase-merging step of word2vec
+    and the pair statistics BPE training consumes).
+
+    ``pmi = round(ln(c_ab · N / (c_a · c_b)), 6)`` with N = total
+    token count; bigrams below ``min_count`` are noise and dropped.
+
+    Scale shape: unigram and bigram counts are two map-side-combined
+    aggregations keyed by word/pair (the shuffles carry one row per
+    distinct term per partition); the component-word joins are keyed
+    by word over vocabulary-sized tables (no corpus shuffle); N rides
+    a one-row broadcast; the top-k is ``orderBy().limit()`` =
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Ordering uses the ROUNDED pmi (ties broken by bigram asc) so the
+    cut is engine-portable."""
+    from .dedup import _shingles_from_tokens
+
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("c_w"))
+    )
+    total = uni.agg(F.sum("c_w").cast("double").alias("n_tok"))
+    big = (
+        toks.select(F.explode(
+            _shingles_from_tokens(F.col("_t"), 2)).alias("bg"))
+        .groupBy("bg").agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+        .withColumn("w1", F.split("bg", " ")[0])
+        .withColumn("w2", F.split("bg", " ")[1])
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    scored = (
+        big.join(uni.select(F.col("w").alias("w1"),
+                            F.col("c_w").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("c_w").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("c_ab").cast("long").alias("n_pair"),
+            F.round(F.log(F.col("c_ab") * F.col("n_tok")
+                          / (F.col("c_a") * F.col("c_b"))), 6)
+            .alias("pmi"))
+    )
+    return scored.orderBy(F.col("pmi").desc(),
+                          F.col("bigram").asc()).limit(k)
+
+
 def hash_uniform_col(key, salt: str = "") -> Column:
     """Deterministic uniform [0,1) from a key: first 8 md5 hex chars
     as a 32-bit integer over 2^32.  Engine-portable (md5 everywhere),
@@ -213,22 +269,68 @@ def stratified_take(
     key for total order), so the selection is a pure function of
     (key, salt): stable under retries, replays, and repartitioning,
     and different salts draw independent quota samples.  One shuffle
-    (the per-stratum window)."""
+    (the per-stratum window).
+
+    Scale note: the filter's FIRST conjunct is ``_rk <= max(counts)``
+    — a LITERAL bound, which lets Catalyst's ``InferWindowGroupLimit``
+    insert a ``WindowGroupLimit`` (per-partition top-k heap) BELOW the
+    exchange: each map task forwards at most max-quota rows per
+    stratum instead of the whole corpus sorting through a handful of
+    stratum reducers.  The exact per-stratum quota (``_rk <= _take``,
+    a column, invisible to the rewrite) stays as the residual
+    conjunct.  A plan test pins the ``WindowGroupLimit`` node."""
     from pyspark.sql import Window
 
     spark = docs.sparkSession
     cnt_tbl = spark.createDataFrame(
         [(k, int(v)) for k, v in sorted(counts.items())],
         f"{strata_col} string, _take int")
+    max_take = max([int(v) for v in counts.values()], default=0)
     u = hash_uniform_col(F.col(key_col), salt)
     w = Window.partitionBy(strata_col).orderBy(
         u.asc(), F.col(key_col).asc())
     return (
         docs.join(F.broadcast(cnt_tbl), strata_col)
         .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= F.col("_take"))
+        .where((F.col("_rk") <= F.lit(max_take))
+               & (F.col("_rk") <= F.col("_take")))
         .drop("_rk", "_take")
     )
+
+
+def source_quality_stats(
+    docs: DataFrame, text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source quality profile: doc count and avg/min/max of the
+    composed quality score, one scan (``quality_score_col`` inline —
+    no doc_id join) + one map-side-combined aggregation keyed by
+    source.  The producer-level curation signal: real pipelines drop
+    or downsample entire sources/dumps/domains wholesale (FineWeb's
+    per-dump filtering) before touching per-doc gates."""
+    q = quality_score_col(F.col(text_col))
+    return (
+        docs.select(F.col(source_col).alias("source"), q.alias("_q"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.round(F.avg("_q"), 6).alias("avg_quality"),
+             F.min("_q").alias("min_quality"),
+             F.max("_q").alias("max_quality"))
+    )
+
+
+def low_quality_source_docs(
+    docs: DataFrame, threshold: float, text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Docs belonging to sources whose average quality score falls
+    below ``threshold`` — the wholesale-drop list.  The per-source
+    stats table is tiny (one row per source) and rides a broadcast
+    semi join; the corpus never shuffles."""
+    bad = source_quality_stats(docs, text_col, source_col) \
+        .where(F.col("avg_quality") < threshold).select("source")
+    return docs.join(F.broadcast(bad),
+                     docs[source_col] == bad.source, "leftsemi")
 
 
 def doc_length_profile(

@@ -373,3 +373,41 @@ def streaming_exact_dedup(
         .withColumn("content_hash", F.md5(F.col("text")))
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def start_streaming_contamination(
+    stream: DataFrame, eval_docs: DataFrame, sink,
+    text_col: str = "text", shingle_k: int = 3,
+    checkpoint_path: str | None = None, available_now: bool = True,
+):
+    """Streaming benchmark decontamination: the ``foreachBatch`` form
+    of ``operators.dedup.contamination_flags`` — flag arriving
+    documents that share a k-shingle with the (static) eval/benchmark
+    set as they land, instead of re-scanning the whole corpus per
+    crawl drop.
+
+    The eval shingle set is computed ONCE at stream start and cached;
+    every micro-batch broadcast-joins against the cached set (a
+    broadcast rebuild from cache per batch — no eval re-shingle, no
+    corpus shuffle; the batch side is map-side explode → broadcast
+    join → per-doc agg, identical to the batch operator, which is why
+    stream-vs-batch equality is exact and test-enforced).
+
+    ``sink(flags_df, batch_id)`` receives each batch's (doc_id,
+    n_hits) output — write to the quarantine table / metrics there.
+    Returns the started StreamingQuery."""
+    from ..operators.dedup import contamination_flags, eval_shingle_set
+
+    ev = eval_shingle_set(eval_docs, text_col, shingle_k).cache()
+    ev.count()  # materialize before the first batch
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink(contamination_flags(batch_df, text_col=text_col,
+                                 eval_shingles=ev), batch_id)
+
+    writer = stream.writeStream.foreachBatch(handle)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

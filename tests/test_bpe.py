@@ -101,3 +101,24 @@ def test_bpe_token_count_spark(spark):
         "doc_id", bpe_token_count_col(F.col("text")).alias("n")).collect()}
     assert all(got[k] >= approx[k] for k in got)
     assert any(got[k] > approx[k] for k in got)
+
+
+@pytest.mark.spark
+def test_bpe_fixture_merges_contract(spark):
+    """The committed fixture merges table (the bpe_tokens_real
+    contract query's vocabulary) loads, is non-trivial, and the Spark
+    counts over it equal the driver-side encoder."""
+    from serd_spark.operators.bpe import fixture_merges
+
+    merges = fixture_merges()
+    assert len(merges) > 50
+    assert all(isinstance(m, tuple) and len(m) == 2 for m in merges)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(50)
+    got = {r.doc_id: r.bpe_tokens_real
+           for r in bpe_token_count(docs, merges).collect()}
+    enc = make_encoder(merges)
+    want = {r.doc_id: len(bpe_encode(r.text, enc))
+            for r in docs.collect()}
+    assert got == want and got

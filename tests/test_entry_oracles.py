@@ -82,7 +82,7 @@ def test_entry_smoke(spark):
 
 
 def test_rows_only_queries(spark):
-    for name in ["kg_parse_turtle", "srp_ann"]:
+    for name in ["kg_parse_turtle", "srp_ann", "bpe_tokens_real"]:
         df = entrymod.queries()[name](spark, SF_DIR)
         assert df.count() > 0, name
 

@@ -517,6 +517,45 @@ def test_streaming_exact_dedup(spark, tmpdir_path):
     assert got.select("content_hash").distinct().count() == 10
 
 
+def test_streaming_contamination_matches_batch(spark, tmpdir_path):
+    """foreachBatch decontamination over a replayed multi-file stream
+    equals the batch operator on the full corpus — per-doc flags
+    depend only on (doc text, static eval set), so micro-batching is
+    invisible in the union of batch outputs."""
+    from serd_spark.operators.dedup import contamination_flags
+    from serd_spark.streaming.ingest import start_streaming_contamination
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    eval_docs = docs.where(F.col("doc_id") % 11 == 0)
+    train = docs.where(F.col("doc_id") % 11 != 0)
+
+    inp = os.path.join(tmpdir_path, "scin")
+    ckpt = os.path.join(tmpdir_path, "scckpt")
+    # several files -> several micro-batches under maxFilesPerTrigger
+    train.repartition(6).write.parquet(inp)
+
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inp)
+    )
+    got: dict[int, int] = {}
+
+    def sink(flags, batch_id):
+        for r in flags.collect():
+            assert r.doc_id not in got  # each doc flagged at most once
+            got[r.doc_id] = r.n_hits
+
+    q = start_streaming_contamination(stream, eval_docs, sink,
+                                      checkpoint_path=ckpt)
+    q.awaitTermination(180)
+
+    want = {r.doc_id: r.n_hits
+            for r in contamination_flags(train, eval_docs).collect()}
+    assert got == want and got
+
+
 def test_bucketed_triples_join_has_no_exchange(spark, tmpdir_path):
     """Bucketed materialization makes the s-s self-join (path join)
     exchange-free — the co-located layout the scale design assumes."""
@@ -940,6 +979,26 @@ def test_global_cumsum_matches_window(spark):
     assert got == want
 
 
+def test_global_cumsum_negative_values(spark):
+    """Partition offsets must come from SUM(value), not max of the
+    running sum — they differ when deltas are negative (e.g. a
+    credit/debit ledger), and the docstring promises a general exact
+    running sum."""
+    from pyspark.sql import Window
+
+    from serd_spark.operators.packing import global_cumsum
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"),
+        (F.when(F.col("id") % 3 == 0, -5).otherwise(2)).alias("v"))
+    got = {r.k: r.cum for r in
+           global_cumsum(df, "v", "k", n_partitions=16).collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.cum for r in
+            df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
 def test_contamination_flags_basic(spark):
     """Train docs sharing a 3-shingle with the eval set are flagged
     with the distinct-shingle hit count; clean docs are absent."""
@@ -1047,6 +1106,138 @@ def test_stratified_take_exact_counts_and_determinism(spark):
     a1 = {r.doc_id for r in out.where("lang_pred='a'").collect()}
     a2 = {r.doc_id for r in other.where("lang_pred='a'").collect()}
     assert a1 != a2
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Compact-forward triangle enumeration equals itertools brute
+    force on a random-ish graph with hubs, cliques, and chains."""
+    from itertools import combinations
+
+    from serd_spark.operators.graph import triangle_counts
+
+    edges = set()
+    # a 5-clique, a chain, a hub, and pseudo-random extras
+    for a, b in combinations(range(5), 2):
+        edges.add((a, b))
+    for i in range(10, 15):
+        edges.add((i, i + 1))
+    for i in range(20, 28):
+        edges.add((5, i))
+    for i in range(40):
+        a, b = (i * 7) % 30, (i * 13 + 3) % 30
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.n_triangles
+           for r in triangle_counts(pairs).collect()}
+
+    want: dict = {}
+    es = {(min(a, b), max(a, b)) for a, b in edges}
+    nodes = sorted({x for e in es for x in e})
+    for x, y, z in combinations(nodes, 3):
+        if {(x, y), (x, z), (y, z)} <= es:
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+    assert got == want and got
+
+
+def test_kcore_peel_clique_survives_chain_unravels(spark):
+    """A 4-clique is its own 3-core; a chain has no 2-core and fully
+    unravels within the fixed rounds."""
+    from itertools import combinations
+
+    from serd_spark.operators.graph import kcore_peel
+
+    edges = [(a, b) for a, b in combinations(range(4), 2)]
+    edges += [(10 + i, 11 + i) for i in range(6)]  # chain
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.degree
+           for r in kcore_peel(pairs, k=3, n_rounds=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k=2: the clique survives whole; the 6-edge chain needs 3 peel
+    # rounds to fully unravel (ends drop one per round from each side)
+    got2 = {r.doc_id for r in
+            kcore_peel(pairs, k=2, n_rounds=3).collect()}
+    assert got2 == {0, 1, 2, 3}
+
+
+def test_extract_relations_gap_pattern(spark):
+    """Mention pairs emit typed triples iff the token gap matches a
+    pattern; max_gap bounds the pair join; adjacent mentions match
+    the empty-gap pattern."""
+    from serd_spark.operators.kg import (
+        detect_mentions,
+        extract_relations,
+        link_entities,
+    )
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "alice works at acme in berlin"),
+         ("c2", 0, "bob acme"),                    # adjacent pair
+         ("c3", 0, "alice x x x x x x x acme")],   # gap > max_gap
+        "conv_id string, turn_idx int, text string")
+    entities = spark.createDataFrame(
+        [(1, "urn:p:alice", "alice", []), (2, "urn:p:bob", "bob", []),
+         (3, "urn:o:acme", "acme", []), (4, "urn:l:berlin", "berlin", [])],
+        "entity_id long, iri string, alias string, ctx array<string>")
+    linked = link_entities(detect_mentions(turns, entities),
+                           keep_toks=True)
+    patterns = spark.createDataFrame(
+        [("works at", "urn:rel:employed_by"),
+         ("in", "urn:rel:located_in"),
+         ("", "urn:rel:adjacent")],
+        "gap_text string, pred string")
+    got = {(r.conv_id, r.s, r.p, r.o)
+           for r in extract_relations(linked, patterns).collect()}
+    assert ("c1", "urn:p:alice", "urn:rel:employed_by",
+            "urn:o:acme") in got
+    assert ("c1", "urn:o:acme", "urn:rel:located_in",
+            "urn:l:berlin") in got
+    assert ("c2", "urn:p:bob", "urn:rel:adjacent", "urn:o:acme") in got
+    # gap of 7 tokens exceeds max_gap=4: no c3 relation
+    assert not any(k[0] == "c3" for k in got)
+
+
+def test_dup_ngram_fraction_constructed(spark):
+    """Docs sharing a 5-gram are flagged with the exact shared-shingle
+    fraction; a unique doc reports zero."""
+    from serd_spark.operators.dedup import dup_ngram_fraction
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [(1, shared + " alpha beta"),        # 3 shingles, 1 shared
+         (2, "x " + shared),                 # 2 shingles, 1 shared
+         (3, "p q r s t u")],                # 2 shingles, 0 shared
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_dup_shingles, r.dup_fraction)
+           for r in dup_ngram_fraction(docs, shingle_k=5).collect()}
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (2, 0, 0.0)
+
+
+def test_stratified_take_plan_window_group_limit(spark):
+    """The quota filter's literal conjunct must trigger Catalyst's
+    WindowGroupLimit rewrite with a PARTIAL (pre-shuffle) node: each
+    map task then forwards at most max-quota rows per stratum instead
+    of the whole corpus sorting through one reducer per stratum —
+    the difference between a scan-bounded plan and a single-task sort
+    at 100 TB."""
+    from serd_spark.operators.text import stratified_take
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)],
+        "doc_id long, lang_pred string")
+    out = stratified_take(docs, {"a": 50, "b": 10})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    # the Partial node must sit BELOW the hash exchange on the stratum
+    partial = [ln for ln in plan.splitlines()
+               if "WindowGroupLimit" in ln and "Partial" in ln]
+    assert partial, plan
+    # literal bound = the max quota across strata
+    assert "50, Partial" in partial[0], partial[0]
 
 
 def test_minhash_incremental_plan_no_corpus_selfjoin(spark):

@@ -73,6 +73,13 @@ _triple = st.builds(
 _triples = st.lists(_triple, min_size=1, max_size=12)
 
 
+def _tkey(t):
+    """None-safe multiset sort key: Triple fields may be None or str
+    (e.g. two triples identical except o_datatype None vs xsd:string),
+    and Python can't order those directly."""
+    return tuple(("", "") if v is None else ("v", str(v)) for v in t)
+
+
 @settings(max_examples=150, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_triples)
@@ -84,7 +91,7 @@ def test_nquads_roundtrip_fixpoint(triples):
                          for t in triples)
         got, errors = parse_ntriples(text, nquads=True)
         assert not errors, errors[:2]
-        assert sorted(got) == sorted(triples)
+        assert sorted(got, key=_tkey) == sorted(triples, key=_tkey)
 
 
 @settings(max_examples=150, deadline=None,
