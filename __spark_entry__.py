@@ -1357,6 +1357,87 @@ def _o_dup_ngram(_: str) -> str:
     """
 
 
+def _q_cdc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup over content-defined chunks (rsync/
+    LBFS boundaries at token granularity): per doc, chunks also
+    occurring verbatim in ≥2 docs."""
+    from serd_spark.operators.dedup import cdc_span_dup_stats
+
+    return cdc_span_dup_stats(_t(spark, sf_dir, "documents"),
+                              divisor=8)
+
+
+def _o_cdc_spans(_: str) -> str:
+    return """
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(w) AS tok,
+               generate_subscripts(w, 1) AS pos
+        FROM words),
+    flagged AS (
+        SELECT doc_id, tok, pos,
+               CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT % 8
+                         = 0
+                    THEN 1 ELSE 0 END AS closes
+        FROM toks WHERE tok <> ''),
+    chunked AS (
+        SELECT doc_id, tok, pos,
+               COALESCE(SUM(closes) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS chunk_idx
+        FROM flagged),
+    chunks AS (
+        SELECT doc_id, chunk_idx,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        FROM chunked GROUP BY doc_id, chunk_idx),
+    ch AS (SELECT DISTINCT doc_id, chunk_hash FROM chunks),
+    cnt AS (SELECT chunk_hash, COUNT(*) AS nd FROM ch
+            GROUP BY chunk_hash)
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN t.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks
+    FROM ch c JOIN cnt t USING (chunk_hash)
+    GROUP BY c.doc_id
+    """
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _o_tfidf_topk(_: str) -> str:
+    return """
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tfc FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)),
+                                             '\\s+')) AS term
+            FROM documents)
+        WHERE term <> '' GROUP BY doc_id, term),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tfc,
+               ROUND(tf.tfc * ln(n.n_docs / dfx.df), 6) AS tfidf
+        FROM tf JOIN dfx USING (term) CROSS JOIN n),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id
+            ORDER BY tfidf DESC, term ASC) AS rnk
+        FROM scored)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+           CAST(tfc AS BIGINT) AS tf, tfidf,
+           CAST(rnk AS BIGINT) AS rank
+    FROM ranked WHERE rnk <= 3
+    """
+
+
 def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the LSH pair graph (compact-forward
     orientation in Spark; the orientation-invariant result lets the
@@ -1883,6 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "triangle_count": _q_triangle_count,
         "kcore": _q_kcore,
+        "cdc_spans": _q_cdc_spans,
+        "tfidf_topk": _q_tfidf_topk,
         "dup_ngram": _q_dup_ngram,
         "bigram_pmi": _q_bigram_pmi,
         "source_quality": _q_source_quality,
@@ -1941,6 +2024,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _o_pagerank(sf),
         "triangle_count": _o_triangle_count(sf),
         "kcore": _o_kcore(sf),
+        "cdc_spans": _o_cdc_spans(sf),
+        "tfidf_topk": _o_tfidf_topk(sf),
         "dup_ngram": _o_dup_ngram(sf),
         "bigram_pmi": _o_bigram_pmi(sf),
         "source_quality": _o_source_quality(sf),

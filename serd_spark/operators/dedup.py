@@ -311,6 +311,72 @@ def dup_ngram_fraction(
     )
 
 
+def cdc_chunks(
+    docs: DataFrame, text_col: str = "text", divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary scheme) at
+    token granularity: a token CLOSES a chunk iff
+    ``int(md5(token)[:8], 16) % divisor == 0`` — boundaries are a pure
+    function of content, so an insertion early in a document shifts
+    chunk alignment only locally (fixed-size chunking would re-align
+    every downstream chunk and break cross-doc span matching).
+    Expected chunk length ≈ ``divisor`` tokens.
+
+    Output: (doc_id, chunk_idx, chunk_text, chunk_hash).  One corpus
+    scan → posexplode → per-DOC window (partitioned by doc_id —
+    embarrassingly parallel, no global window) computing the running
+    boundary count → one aggregation rebuilding chunk text in token
+    order.  Engine-portable definition (md5 + running sum) with an
+    exact SQL mirror."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    closes = F.when(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("long") % divisor == 0, 1).otherwise(0)
+    # chunk_idx = number of chunk-closing tokens STRICTLY before this
+    # one (the closer belongs to the chunk it closes)
+    w = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    chunked = toks.withColumn(
+        "chunk_idx",
+        F.coalesce(F.sum(closes).over(w), F.lit(0)).cast("long"))
+    return (
+        chunked.groupBy("doc_id", "chunk_idx")
+        .agg(F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"])).alias("chunk_text"))
+        .withColumn("chunk_hash", F.md5("chunk_text"))
+    )
+
+
+def cdc_span_dup_stats(
+    docs: DataFrame, text_col: str = "text", divisor: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Sub-document span dedup profile over content-defined chunks:
+    per document, how many of its chunks also occur (verbatim) in
+    ≥ ``min_docs`` documents — the span-level dedup signal
+    (suffix-array-style exact substring dedup approximated at chunk
+    granularity, which is how large pipelines actually run it).
+    Same join shape as :func:`dup_ngram_fraction`: chunk table keyed
+    by hash, one agg, one shuffle join back, per-doc agg."""
+    ch = cdc_chunks(docs, text_col, divisor) \
+        .select("doc_id", "chunk_hash").distinct()
+    counts = ch.groupBy("chunk_hash").agg(F.count("*").alias("_nd"))
+    dup = F.when(F.col("_nd") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+    return (
+        ch.join(counts, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_chunks"),
+             F.sum(dup).cast("long").alias("n_dup_chunks"))
+    )
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Near-duplicate *clusters* from candidate pairs: connected
     components of the undirected pair graph, labeled by the minimum

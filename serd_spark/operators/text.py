@@ -220,6 +220,51 @@ def bigram_pmi(
                           F.col("bigram").asc()).limit(k)
 
 
+def tfidf_topk(
+    docs: DataFrame, text_col: str = "text", k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf
+    (``tf · ln(N / df)``, rounded to 6 dp) — the keyword/topic-profile
+    pass (cluster labeling, near-dup explanation, index terms).
+
+    Scale shape: term frequencies and document frequencies are two
+    map-side-combined aggregations (the df table derives from the tf
+    table — the corpus is scanned ONCE); the idf join is keyed by term
+    over vocabulary-sized tables; N rides a one-row broadcast; the
+    per-doc top-k uses a LITERAL rank bound so Catalyst plans a
+    Partial WindowGroupLimit below the exchange (per-partition top-k
+    heaps — the same idiom as ``stratified_take``).  Ordering uses the
+    ROUNDED score (ties → term asc) so the cut is engine-portable."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                              r"\s+")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term",
+                F.col("tf").cast("long").alias("tf"),
+                F.round(F.col("tf")
+                        * F.log(F.col("n_docs") / F.col("df")), 6)
+                .alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
 def hash_uniform_col(key, salt: str = "") -> Column:
     """Deterministic uniform [0,1) from a key: first 8 md5 hex chars
     as a 32-bit integer over 2^32.  Engine-portable (md5 everywhere),

@@ -1142,6 +1142,53 @@ def test_triangle_counts_matches_bruteforce(spark):
     assert got == want and got
 
 
+def test_cdc_chunks_insertion_locality(spark):
+    """The point of content-defined boundaries: inserting tokens near
+    the start of a document must leave the chunking of the unchanged
+    tail intact (fixed-size chunking would re-align everything).  The
+    edited doc must share most chunk hashes with the original."""
+    from serd_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"w{i * 37 % 101}x{i}" for i in range(400))
+    edited = "INSERTED tokens here " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string")
+    ch = cdc_chunks(docs, divisor=8)
+    h1 = {r.chunk_hash for r in ch.where("doc_id = 1").collect()}
+    h2 = {r.chunk_hash for r in ch.where("doc_id = 2").collect()}
+    shared = len(h1 & h2)
+    assert shared / len(h1) > 0.9, (shared, len(h1))
+    # chunk text reassembles the document exactly, in chunk order
+    rows = sorted(ch.where("doc_id = 1").collect(),
+                  key=lambda r: r.chunk_idx)
+    assert " ".join(r.chunk_text for r in rows) == base
+
+
+def test_tfidf_topk_plan_and_values(spark):
+    """tf-idf top-k: literal rank bound plans a Partial
+    WindowGroupLimit below the exchange; scores match a hand
+    computation on a tiny corpus."""
+    import math
+
+    from serd_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"),
+         (3, "cherry cherry cherry date")],
+        "doc_id long, text string")
+    out = tfidf_topk(docs, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any("WindowGroupLimit" in ln and "Partial" in ln
+               for ln in plan.splitlines()), plan
+    got = {(r.doc_id, r.term): (r.tf, r.tfidf, r.rank)
+           for r in out.collect()}
+    # doc 3: cherry tf=3 df=2 -> 3*ln(3/2); date tf=1 df=1 -> ln(3)
+    assert got[(3, "cherry")] == (3, round(3 * math.log(3 / 2), 6), 1)
+    assert got[(3, "date")] == (1, round(math.log(3.0), 6), 2)
+    # apple appears only in doc 1: top term there
+    assert got[(1, "apple")][2] == 1
+
+
 def test_kcore_peel_clique_survives_chain_unravels(spark):
     """A 4-clique is its own 3-core; a chain has no 2-core and fully
     unravels within the fixed rounds."""
