@@ -1357,6 +1357,54 @@ def _o_dup_ngram(_: str) -> str:
     """
 
 
+def _q_kg_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the entity co-mention graph (edge weight
+    = co-mentioning turn count): which entities anchor the KG.  Exact
+    oracle — the SQL rebuilds the co-mention weights from ground truth
+    and unrolls the same 3 weighted power-iteration rounds."""
+    from serd_spark.operators.graph import pagerank_weighted
+    from serd_spark.operators.kg import comention_edges, \
+        detect_mentions, link_entities
+
+    turns, entities = _kg_turns_entities(spark, sf_dir, persons=False)
+    linked = link_entities(detect_mentions(turns, entities))
+    return pagerank_weighted(comention_edges(linked), n_iter=3)
+
+
+def _o_kg_entity_rank(_: str) -> str:
+    n_iter, damping = 3, 0.85
+    ctes = [
+        """ed0 AS (
+        SELECT 'urn:kg:nation:' || n_nationkey AS a,
+               'urn:kg:region:' || n_regionkey AS b,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_nationkey, n_regionkey)""",
+        """edges AS (
+        SELECT a AS u, b AS v, w FROM ed0
+        UNION ALL SELECT b, a, w FROM ed0)""",
+        "nodes AS (SELECT DISTINCT u FROM edges)",
+        "nn AS (SELECT COUNT(*) AS c FROM nodes)",
+        "wd AS (SELECT u, SUM(w) AS wd FROM edges GROUP BY u)",
+        "r0 AS (SELECT u, 1.0/(SELECT c FROM nn) AS r FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""r{k} AS (
+        SELECT n.u,
+               {1.0 - damping}/(SELECT c FROM nn)
+               + {damping}*COALESCE(s.in_sum, 0) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.v AS u, SUM(r.r * e.w / wd.wd) AS in_sum
+            FROM edges e
+            JOIN r{k - 1} r ON e.u = r.u
+            JOIN wd ON e.u = wd.u
+            GROUP BY e.v) s ON n.u = s.u)""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT u AS node, ROUND(r, 6) AS rank FROM r{n_iter}
+    """
+
+
 def _q_cdc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document span dedup over content-defined chunks (rsync/
     LBFS boundaries at token granularity): per doc, chunks also
@@ -1970,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": _q_bigram_pmi,
         "source_quality": _q_source_quality,
         "kg_relations": _q_kg_relations,
+        "kg_entity_rank": _q_kg_entity_rank,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
@@ -2030,6 +2079,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": _o_bigram_pmi(sf),
         "source_quality": _o_source_quality(sf),
         "kg_relations": _o_kg_relations(sf),
+        "kg_entity_rank": _o_kg_entity_rank(sf),
         "ngram_jaccard": _o_ngram_jaccard(sf),
         "simhash": _o_simhash(sf),
         "cosine_topk": _o_cosine_topk(sf),

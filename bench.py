@@ -45,7 +45,7 @@ HEADLINE = [
     "cdc_spans", "tfidf_topk",
     "embedding_neardup", "sessionize", "asof_attrib", "kg_parse_nt",
     "kg_entity_link", "kg_comention", "kg_substring_mentions",
-    "kg_relations",
+    "kg_relations", "kg_entity_rank",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended

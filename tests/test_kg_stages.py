@@ -126,6 +126,59 @@ def test_kg_pipeline_streaming_microbatch(spark, tmpdir_path):
     assert got == want and got
 
 
+def test_relation_extraction_streaming_matches_batch(spark, tmpdir_path):
+    """extract_relations under foreachBatch (detect → link(keep_toks)
+    → relations per micro-batch) equals the batch pipeline — relations
+    are turn-local, so micro-batching is invisible."""
+    import os
+
+    from serd_spark.operators.kg import (
+        detect_mentions,
+        extract_relations,
+        link_entities,
+    )
+
+    turns = spark.createDataFrame(
+        [(f"c{i}", 0,
+          f"alice works at acme{i % 3} in berlin") for i in range(30)],
+        "conv_id string, turn_idx int, text string")
+    entities = spark.createDataFrame(
+        [(1, "urn:p:alice", "alice", [])]
+        + [(10 + j, f"urn:o:acme{j}", f"acme{j}", []) for j in range(3)]
+        + [(4, "urn:l:berlin", "berlin", [])],
+        "entity_id long, iri string, alias string, ctx array<string>")
+    patterns = spark.createDataFrame(
+        [("works at", "urn:rel:employed_by"),
+         ("in", "urn:rel:located_in")],
+        "gap_text string, pred string")
+
+    def run(df):
+        return extract_relations(
+            link_entities(detect_mentions(df, entities),
+                          keep_toks=True), patterns)
+
+    inp = os.path.join(tmpdir_path, "rel_in")
+    out = os.path.join(tmpdir_path, "rel_out")
+    ckpt = os.path.join(tmpdir_path, "rel_ckpt")
+    turns.repartition(5).write.parquet(inp)
+
+    def handle(batch_df, _bid):
+        run(batch_df).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(turns.schema)
+        .option("maxFilesPerTrigger", 2).parquet(inp)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in run(turns).collect()}
+    assert got == want and got
+
+
 def test_aho_corasick_matches_bruteforce():
     """AC automaton output == per-pattern brute-force scan, including
     overlapping patterns, patterns-within-patterns, and repeats."""

@@ -1083,6 +1083,33 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[v] - round(float(r[idx[v]]), 6)) < 1e-9, v
 
 
+def test_pagerank_weighted_matches_numpy(spark):
+    """Weighted PageRank equals a straightforward numpy power
+    iteration with proportional-to-weight contribution split."""
+    from serd_spark.operators.graph import pagerank_weighted
+
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "d", 5)]
+    df = spark.createDataFrame(
+        edges, "iri_a string, iri_b string, n_turns long")
+    got = {r.node: r.rank
+           for r in pagerank_weighted(df, n_iter=4).collect()}
+
+    sym = edges + [(b, a, w) for a, b, w in edges]
+    nodes = sorted({x for e in sym for x in e[:2]})
+    idx = {v: i for i, v in enumerate(nodes)}
+    wd = {v: sum(w for a, _, w in sym if a == v) for v in nodes}
+    r = [1.0 / len(nodes)] * len(nodes)
+    for _ in range(4):
+        nxt = [0.15 / len(nodes)] * len(nodes)
+        for a, b, w in sym:
+            nxt[idx[b]] += 0.85 * r[idx[a]] * w / wd[a]
+        r = nxt
+    for v in nodes:
+        assert abs(got[v] - round(r[idx[v]], 6)) < 1e-9, v
+    # the heavy c-d edge must pull d above a (unweighted degree ties)
+    assert got["d"] > got["a"]
+
+
 def test_stratified_take_exact_counts_and_determinism(spark):
     """Quota sampling returns exactly min(quota, stratum size) rows
     per stratum; selection is identical across repartitionings; a
