@@ -1715,6 +1715,37 @@ def _o_embedding_neardup(_: str) -> str:
     """
 
 
+def _q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors within cosine
+    0.4 of any eval-subset vector (eval = vec_id % 9 == 0).  The
+    GEMM candidate stage re-verifies on the JVM float path, so the
+    oracle is the exact all-pairs cross join between the subsets."""
+    from serd_spark.operators.similarity import embedding_decontamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 9 == 0)
+    tr = emb.where(F.col("vec_id") % 9 != 0)
+    return embedding_decontamination(tr, ev, tau=0.4)
+
+
+def _o_semantic_decon(_: str) -> str:
+    return """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT * FROM e WHERE vec_id % 9 = 0),
+    tr AS (SELECT * FROM e WHERE vec_id % 9 <> 0)
+    SELECT CAST(tr.vec_id AS BIGINT) AS vec_id,
+           CAST(ev.vec_id AS BIGINT) AS eval_id,
+           ROUND(list_dot_product(tr.v, ev.v)
+                 / (sqrt(list_dot_product(tr.v, tr.v))
+                    * sqrt(list_dot_product(ev.v, ev.v))), 6) AS sim
+    FROM tr CROSS JOIN ev
+    WHERE ROUND(list_dot_product(tr.v, ev.v)
+                / (sqrt(list_dot_product(tr.v, tr.v))
+                   * sqrt(list_dot_product(ev.v, ev.v))), 6) >= 0.4
+    """
+
+
 def _q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio boilerplate signal — rows-only (zlib is not
     SQL-expressible); gated by pytest fixtures (templated text must
@@ -2040,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_quality": _q_compression_quality,
         "bpe_tokens_real": _q_bpe_tokens_real,
         "embedding_neardup": _q_embedding_neardup,
+        "semantic_decon": _q_semantic_decon,
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,
         "kg_entity_link": _q_kg_entity_link,
@@ -2099,6 +2131,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),
+        "semantic_decon": _o_semantic_decon(sf),
         "sessionize": _o_sessionize(sf),
         "asof_attrib": _o_asof_attrib(sf),
         "kg_entity_link": _o_kg_entity_link(sf),

@@ -301,6 +301,73 @@ def embedding_neardup(
     )
 
 
+def embedding_decontamination(
+    emb: DataFrame, eval_emb: DataFrame, tau: float = 0.8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    margin: float = 1e-4,
+) -> DataFrame:
+    """Semantic benchmark decontamination: (vec_id, eval_id, sim) for
+    every corpus vector whose cosine to ANY eval/benchmark vector is
+    ≥ tau — the embedding-space complement of the n-gram
+    ``dedup.contamination_flags`` (catches paraphrased eval leakage
+    that shingle overlap misses).
+
+    Scale shape: the eval matrix is benchmark-sized (thousands of
+    vectors), normalized once and shipped via
+    ``SparkContext.broadcast``; the corpus is scanned ONCE by an
+    Arrow-batched GEMM (one numpy matmul per batch) emitting only
+    near-threshold candidates (sim ≥ tau − margin); the tiny candidate
+    set then broadcast-joins back for the exact JVM
+    ``aggregate``/``zip_with`` dot + round(…,6), so every emitted sim
+    is bit-identical to the all-pairs SQL oracle — the same two-stage
+    candidates-then-verify trick as :func:`embedding_neardup`.  The
+    corpus never shuffles and there is no cartesian anywhere."""
+    import numpy as np
+
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    ev_rows = sorted(
+        eval_emb.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).cast("array<double>").alias("v"))
+        .collect(), key=lambda r: r.vec_id)
+    E = np.array([r.v for r in ev_rows], dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    eids = np.array([r.vec_id for r in ev_rows], dtype=np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast((En, eids))
+    thresh = tau - margin
+
+    def find(batches):
+        En_, eids_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            ii, jj = np.nonzero(Xn @ En_.T >= thresh)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].values[ii],
+                "eval_id": eids_[jj],
+            })
+
+    cand = F.broadcast(
+        base.mapInPandas(find, schema="vec_id long, eval_id long"))
+    a = base.select("vec_id", F.col("v").alias("va")) \
+        .withColumn("na", _norm(F.col("va")))
+    b = eval_emb.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).cast("array<double>").alias("vb")) \
+        .withColumn("nb", _norm(F.col("vb")))
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        cand.join(a, "vec_id").join(F.broadcast(b), "eval_id")
+        .select(F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("eval_id").cast("long").alias("eval_id"),
+                sim.alias("sim"))
+        .where(F.col("sim") >= tau)
+    )
+
+
 def ivf_assign(
     emb: DataFrame, n_cells: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",

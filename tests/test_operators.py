@@ -1083,6 +1083,40 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[v] - round(float(r[idx[v]]), 6)) < 1e-9, v
 
 
+def test_embedding_decontamination_exact_and_plan(spark):
+    """The GEMM-candidates + JVM-verify decontamination equals the
+    brute-force cross join, with no cartesian product and no
+    SortMergeJoin (corpus never shuffles) in the plan."""
+    from serd_spark.operators.similarity import (
+        _dot,
+        _norm,
+        embedding_decontamination,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ev = emb.where(F.col("vec_id") % 9 == 0)
+    tr = emb.where(F.col("vec_id") % 9 != 0)
+    out = embedding_decontamination(tr, ev, tau=0.4)
+    got = {(r.vec_id, r.eval_id, r.sim) for r in out.collect()}
+
+    a = tr.select(F.col("vec_id").alias("vec_id"),
+                  F.col("embedding").cast("array<double>").alias("va"))
+    b = ev.select(F.col("vec_id").alias("eval_id"),
+                  F.col("embedding").cast("array<double>").alias("vb"))
+    sim = F.round(_dot(F.col("va"), F.col("vb"))
+                  / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+    want = {(r.vec_id, r.eval_id, r.sim)
+            for r in a.crossJoin(b).select("vec_id", "eval_id",
+                                           sim.alias("sim"))
+            .where(F.col("sim") >= 0.4).collect()}
+    assert got == want and got
+
+    plan = embedding_decontamination(tr, ev, tau=0.4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_pagerank_weighted_matches_numpy(spark):
     """Weighted PageRank equals a straightforward numpy power
     iteration with proportional-to-weight contribution split."""
