@@ -1321,6 +1321,120 @@ def _o_pack_chunks(_: str) -> str:
     """
 
 
+def _q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the table's ground-truth
+    lang column — the classifier-eval harness."""
+    from serd_spark.operators.text import langid_confusion
+
+    return langid_confusion(_t(spark, sf_dir, "documents"))
+
+
+def _o_langid_eval(_: str) -> str:
+    from serd_spark.operators.text import LANG_STOPWORDS
+
+    scores = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            for w in words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    score_cols = ",\n".join(
+        f"CAST({scores[lang]} AS BIGINT) AS score_{lang}"
+        for lang in sorted(LANG_STOPWORDS))
+    best = "GREATEST(" + ", ".join(
+        f"score_{la}" for la in sorted(LANG_STOPWORDS)) + ")"
+    case = " ".join(
+        f"WHEN score_{la} = {best} THEN '{la}'"
+        for la in sorted(LANG_STOPWORDS))
+    return f"""
+    WITH s AS (SELECT lang AS lang_true, {score_cols} FROM documents),
+    p AS (SELECT lang_true,
+                 CASE WHEN {best} = 0 THEN 'und' {case} ELSE 'und' END
+                     AS lang_pred
+          FROM s)
+    SELECT lang_true, lang_pred, COUNT(*) AS n
+    FROM p GROUP BY lang_true, lang_pred
+    """
+
+
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.text import lm_bigram_score
+
+    return lm_bigram_score(_t(spark, sf_dir, "documents"))
+
+
+def _o_lm_score(_: str) -> str:
+    return """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+                   AS w
+        FROM documents),
+    uni AS (
+        SELECT word, COUNT(*) AS c_w FROM (
+            SELECT unnest(w) AS word FROM t)
+        WHERE word <> '' GROUP BY word),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v_sz FROM uni),
+    bgs AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 2 THEN
+                list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])
+            ELSE [] END) AS bg
+        FROM t),
+    bc AS (SELECT bg, COUNT(*) AS c_ab FROM bgs GROUP BY bg),
+    lp AS (
+        SELECT d.doc_id,
+               ln((c.c_ab + 1) / (u.c_w + v.v_sz)) AS lp
+        FROM bgs d
+        JOIN bc c USING (bg)
+        JOIN uni u ON string_split(d.bg, ' ')[1] = u.word
+        CROSS JOIN v)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(lp), 6) AS lm_score
+    FROM lp GROUP BY doc_id
+    """
+
+
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"),
+                                  k=3, w=4)
+
+
+def _o_winnowing(_: str) -> str:
+    return """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+                   AS w
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+               generate_subscripts(g, 1) - 1 AS pos,
+               unnest(g) AS gram
+        FROM (SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                         list_transform(range(1, len(w)-1),
+                             i -> w[i] || ' ' || w[i+1] || ' '
+                                  || w[i+2])
+                     ELSE [] END AS g
+              FROM t)),
+    hashed AS (
+        SELECT doc_id, pos, substr(md5(gram), 1, 16) AS h
+        FROM grams),
+    winmin AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                                     AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n
+        FROM hashed)
+    SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, fp
+    FROM winmin WHERE pos <= n - 4
+    """
+
+
 def _q_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc duplicate 5-gram fraction per document — the
     'dedupable fraction' profile that motivates span-level dedup."""
@@ -2055,6 +2169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "quality": _q_quality,
         "langid": _q_langid,
+        "langid_eval": _q_langid_eval,
+        "lm_score": _q_lm_score,
+        "winnowing": _q_winnowing,
         "fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
         "vocab_topk": _q_vocab_topk,
@@ -2117,6 +2234,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _o_cosine_topk(sf),
         "quality": _o_quality(sf),
         "langid": _o_langid(sf),
+        "langid_eval": _o_langid_eval(sf),
+        "lm_score": _o_lm_score(sf),
+        "winnowing": _o_winnowing(sf),
         "fingerprint": _o_fingerprint(sf),
         "token_counts": _o_token_counts(sf),
         "vocab_topk": _o_vocab_topk(sf),

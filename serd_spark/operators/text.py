@@ -130,6 +130,116 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def langid_confusion(
+    docs: DataFrame, text_col: str = "text", truth_col: str = "lang",
+) -> DataFrame:
+    """Confusion matrix of the heuristic language ID against the
+    table's ground-truth label: (lang_true, lang_pred, n) — the eval
+    harness every classifier-style gate needs before its threshold is
+    trusted at corpus scale.  One scan (``lang_pred_col`` composed
+    inline), one map-side-combined aggregation."""
+    return (
+        docs.select(F.col(truth_col).alias("lang_true"),
+                    lang_pred_col(F.col(text_col)).alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean bigram log-likelihood under an add-one-
+    smoothed corpus bigram model — the CCNet/KenLM-style fluency
+    filter with the corpus itself as the model (no external LM):
+
+    ``score(d) = mean over adjacent pairs ln((c(w1w2)+1) / (c(w1)+V))``
+
+    Gibberish and boilerplate score low; text whose transitions match
+    corpus statistics scores high.  Output: (doc_id, n_bigrams,
+    lm_score) for docs with ≥1 bigram.
+
+    Scale shape: unigram/bigram count tables are map-side-combined
+    aggregations; the per-doc bigram stream joins them keyed by
+    bigram/word (vocabulary-sized build sides, corpus-sized probe —
+    plain shuffle hash joins, no broadcast assumption); V rides a
+    one-row broadcast; one final per-doc aggregation."""
+    from .dedup import _shingles_from_tokens
+
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("c_w"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("v_sz"))
+    big_counts = (
+        toks.select(F.explode(
+            _shingles_from_tokens(F.col("_t"), 2)).alias("bg"))
+        .groupBy("bg").agg(F.count("*").alias("c_ab"))
+    )
+    doc_bg = toks.select(
+        "doc_id",
+        F.explode(_shingles_from_tokens(F.col("_t"), 2)).alias("bg"))
+    w1 = F.split(F.col("bg"), " ")[0]
+    scored = (
+        doc_bg.join(big_counts, "bg")
+        .withColumn("w", w1)
+        .join(uni, "w")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id",
+                F.log((F.col("c_ab") + 1)
+                      / (F.col("c_w") + F.col("v_sz"))).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_bigrams"),
+             F.round(F.avg("lp"), 6).alias("lm_score"))
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 3, w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): hash every k-gram, slide a w-hash window over
+    the sequence, keep each window's MINIMUM hash — the selected
+    fingerprint set guarantees any shared run of ≥ w+k-1 tokens
+    between two documents yields a shared fingerprint, at ~2/(w+1)
+    the density of full shingling.  The real local-fingerprinting
+    upgrade over the whole-document md5 of :func:`fingerprint`.
+
+    Output: (doc_id, fp) — the DISTINCT selected hashes per doc.
+    One scan → per-DOC windows (partitioned by doc_id, parallel) for
+    the rolling min and the gram count; engine-portable (md5-prefix
+    hashes compare lexicographically the same everywhere)."""
+    from pyspark.sql import Window
+
+    from .dedup import _shingles_from_tokens
+
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(_shingles_from_tokens(F.col("_t"), k))
+        .alias("pos", "gram"))
+    hashed = grams.select(
+        "doc_id", "pos",
+        F.substring(F.md5(F.col("gram")), 1, 16).alias("h"))
+    wn = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.currentRow, w - 1)
+    cnt = Window.partitionBy("doc_id")
+    return (
+        hashed
+        .withColumn("_win_min", F.min("h").over(wn))
+        .withColumn("_n", F.count("*").over(cnt))
+        .where(F.col("pos") <= F.col("_n") - w)  # full windows only
+        .select("doc_id", F.col("_win_min").alias("fp"))
+        .distinct()
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text (rolling-hash stand-in; md5 exists in both engines)."""

@@ -1083,6 +1083,40 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[v] - round(float(r[idx[v]]), 6)) < 1e-9, v
 
 
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing guarantee: two documents sharing a token run of
+    length >= w + k - 1 (= 6 here) must share a fingerprint; fully
+    disjoint documents share none."""
+    from serd_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"   # 6 tokens
+    docs = spark.createDataFrame(
+        [(1, "p1 p2 " + shared + " s1 s2"),
+         (2, "q1 " + shared + " r1 r2 r3"),
+         (3, "u1 u2 u3 u4 u5 u6 u7 u8")],
+        "doc_id long, text string")
+    fps = winnowing_fingerprints(docs, k=3, w=4)
+    by = {i: {r.fp for r in fps.where(F.col("doc_id") == i).collect()}
+          for i in (1, 2, 3)}
+    assert by[1] & by[2], "shared 6-token run must share a fingerprint"
+    assert not (by[1] & by[3]) and not (by[2] & by[3])
+
+
+def test_lm_bigram_score_orders_fluency(spark):
+    """Text built from corpus-frequent transitions must outscore a
+    doc of the same length whose transitions never repeat."""
+    from serd_spark.operators.text import lm_bigram_score
+
+    fluent = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(5)]
+        + [(10, "zq xv wk jy hb gf")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.lm_score for r in lm_bigram_score(docs).collect()}
+    assert got[0] == got[4]            # identical docs, same score
+    assert got[0] > got[10]            # frequent transitions win
+
+
 def test_embedding_decontamination_exact_and_plan(spark):
     """The GEMM-candidates + JVM-verify decontamination equals the
     brute-force cross join, with no cartesian product and no
