@@ -1916,6 +1916,80 @@ def _o_sessionize(_: str) -> str:
     """
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.sessions import funnel_counts
+
+    return funnel_counts(_t(spark, sf_dir, "events"),
+                         ["view", "click", "purchase"])
+
+
+def _o_funnel(_: str) -> str:
+    return """
+    WITH s1 AS (
+        SELECT user_id AS u, MIN(extract(epoch FROM ts)) AS t
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id AS u, MIN(extract(epoch FROM e.ts)) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.u
+         AND extract(epoch FROM e.ts) > s1.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id AS u, MIN(extract(epoch FROM e.ts)) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.u
+         AND extract(epoch FROM e.ts) > s2.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.sessions import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), max_days=7)
+
+
+def _o_retention(_: str) -> str:
+    return """
+    WITH f AS (
+        SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS cohort
+        FROM events GROUP BY user_id),
+    a AS (
+        SELECT DISTINCT e.user_id AS u, f.cohort,
+               date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS off
+        FROM events e JOIN f ON e.user_id = f.u
+        WHERE date_diff('day', f.cohort, CAST(e.ts AS DATE)) <= 7)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(off AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a GROUP BY cohort, off
+    """
+
+
+def _q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.sessions import props_stats
+
+    return props_stats(_t(spark, sf_dir, "events"))
+
+
+def _o_props_stats(_: str) -> str:
+    return """
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n,
+           MIN(k) AS k_min,
+           MAX(k) AS k_max,
+           ROUND(AVG(k), 6) AS k_avg
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """
+
+
 def _q_kg_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star KG stages end to end: mention detection (token
     n-grams vs a broadcast alias dictionary, incl. 2-gram aliases like
@@ -2190,6 +2264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "semantic_decon": _q_semantic_decon,
         "sessionize": _q_sessionize,
+        "funnel": _q_funnel,
+        "retention": _q_retention,
+        "props_stats": _q_props_stats,
         "asof_attrib": _q_asof_attrib,
         "kg_entity_link": _q_kg_entity_link,
         "kg_comention": _q_kg_comention,
@@ -2253,6 +2330,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _o_embedding_neardup(sf),
         "semantic_decon": _o_semantic_decon(sf),
         "sessionize": _o_sessionize(sf),
+        "funnel": _o_funnel(sf),
+        "retention": _o_retention(sf),
+        "props_stats": _o_props_stats(sf),
         "asof_attrib": _o_asof_attrib(sf),
         "kg_entity_link": _o_kg_entity_link(sf),
         "kg_comention": _o_kg_comention(sf),

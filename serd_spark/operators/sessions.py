@@ -127,3 +127,96 @@ def asof_join(
             *[F.when(keep, F.col(c)).alias(c) for c in out_rcols],
         )
     return res
+
+
+def funnel_counts(
+    events: DataFrame, steps: list,
+    key_col: str = "user_id", ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion: how many users completed step 1,
+    then step 2 strictly AFTER their first step-1 event, and so on —
+    the product-analytics primitive (and, for transcript corpora, the
+    tool-call sequence funnel).  A user converts step k at the
+    earliest step-k event after their step-(k-1) conversion time.
+
+    Output: (step, step_name, n_users), one row per step.
+
+    Scale shape: per step ONE filtered map-side-combined min-ts
+    aggregation keyed by user plus one join against the previous
+    step's (user, ts) table — step tables shrink monotonically, and
+    nothing ever shuffles more than the per-user event subset of one
+    event type.  Fixed step list → exactly SQL-mirrorable as chained
+    CTEs."""
+    ep = F.col(ts_col).cast("timestamp").cast("double")
+    spark = events.sparkSession
+    prev = None
+    out = None
+    for i, step in enumerate(steps, start=1):
+        cur = events.where(F.col(type_col) == step).select(
+            F.col(key_col).alias("u"), ep.alias("t"))
+        if prev is not None:
+            cur = cur.join(
+                prev.select("u", F.col("t").alias("_pt")), "u") \
+                .where(F.col("t") > F.col("_pt"))
+        cur = cur.groupBy("u").agg(F.min("t").alias("t"))
+        row = cur.agg(F.count("*").cast("long").alias("n_users")) \
+            .select(F.lit(i).cast("long").alias("step"),
+                    F.lit(step).alias("step_name"), "n_users")
+        out = row if out is None else out.unionByName(row)
+        prev = cur
+    return out if out is not None else spark.createDataFrame(
+        [], "step long, step_name string, n_users long")
+
+
+def retention_cohorts(
+    events: DataFrame, max_days: int = 7,
+    key_col: str = "user_id", ts_col: str = "ts",
+) -> DataFrame:
+    """Classic cohort retention: users grouped by the DAY of their
+    first event; for each cohort and day offset 0..max_days, how many
+    cohort members were active that day.  Output: (cohort_day as
+    yyyy-MM-dd string — string-typed for engine-portable hashing,
+    day_offset, n_users).
+
+    Two map-side-combined aggregations (first-day per user, then the
+    distinct (user, offset) count) and one join keyed by user."""
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    first = events.groupBy(F.col(key_col).alias("u")) \
+        .agg(F.min(day).alias("cohort"))
+    active = (
+        events.select(F.col(key_col).alias("u"), day.alias("d"))
+        .join(first, "u")
+        .select("u", "cohort", F.datediff("d", "cohort").alias("off"))
+        .where(F.col("off") <= max_days)
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort", "off")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(F.date_format("cohort", "yyyy-MM-dd")
+                .alias("cohort_day"),
+                F.col("off").cast("long").alias("day_offset"),
+                "n_users")
+    )
+
+
+def props_stats(
+    events: DataFrame, json_col: str = "props", path: str = "$.k",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured column stats: extract a JSON field from the
+    event payload (JVM ``get_json_object`` — no Python, no UDF) and
+    profile it per event type.  The pattern every telemetry/transcript
+    pipeline needs for tool-call payloads stored as JSON strings.
+    Output: (event_type, n, k_min, k_max, k_avg)."""
+    k = F.get_json_object(F.col(json_col), path).cast("long")
+    return (
+        events.select(F.col(type_col).alias("event_type"),
+                      k.alias("_k"))
+        .groupBy("event_type")
+        .agg(F.count("_k").cast("long").alias("n"),
+             F.min("_k").alias("k_min"),
+             F.max("_k").alias("k_max"),
+             F.round(F.avg("_k"), 6).alias("k_avg"))
+    )

@@ -1083,6 +1083,37 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[v] - round(float(r[idx[v]]), 6)) < 1e-9, v
 
 
+def test_funnel_ordering_semantics(spark):
+    """Funnel steps must be STRICTLY ordered per user: a click before
+    the first view doesn't count, and a purchase between view and
+    click doesn't either."""
+    from datetime import datetime as DT
+
+    from serd_spark.operators.sessions import funnel_counts
+
+    def e(i, u, t, typ):
+        return (i, DT(2024, 1, 1, 0, t), u, typ, 0.0, "{}")
+
+    rows = [
+        # u1: clean view -> click -> purchase
+        e(1, 1, 1, "view"), e(2, 1, 2, "click"), e(3, 1, 3, "purchase"),
+        # u2: click BEFORE view, purchase after view: no click step
+        e(4, 2, 1, "click"), e(5, 2, 2, "view"), e(6, 2, 3, "purchase"),
+        # u3: purchase BETWEEN view and click: purchase step not after
+        # the click conversion
+        e(7, 3, 1, "view"), e(8, 3, 2, "purchase"), e(9, 3, 3, "click"),
+        # u4: view only
+        e(10, 4, 1, "view"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    got = {r.step_name: r.n_users for r in
+           funnel_counts(events, ["view", "click", "purchase"])
+           .collect()}
+    assert got == {"view": 4, "click": 2, "purchase": 1}
+
+
 def test_winnowing_shared_run_guarantee(spark):
     """The winnowing guarantee: two documents sharing a token run of
     length >= w + k - 1 (= 6 here) must share a fingerprint; fully
