@@ -1916,6 +1916,104 @@ def _o_sessionize(_: str) -> str:
     """
 
 
+def _q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.analytics import rolling_revenue
+
+    return rolling_revenue(_t(spark, sf_dir, "orders"), days=30) \
+        .withColumn("order_ep", F.round("order_ep", 6))
+
+
+def _o_rolling_revenue(_: str) -> str:
+    return """
+    SELECT CAST(o_orderkey AS BIGINT) AS order_id,
+           CAST(o_custkey AS BIGINT) AS cust_id,
+           ROUND(extract(epoch FROM o_orderdate), 6) AS order_ep,
+           ROUND(SUM(o_totalprice) OVER w, 4) AS trailing_revenue,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trailing_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY extract(epoch FROM o_orderdate)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """
+
+
+def _q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.text import quality_buckets
+
+    return quality_buckets(_t(spark, sf_dir, "documents"))
+
+
+def _o_quality_buckets(_: str) -> str:
+    stop = ["the", "and", "of", "to", "is", "a", "in", "it", "for", "on"]
+    hits = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in stop)
+    qs = f"""ROUND(
+        LEAST(1.0, len(string_split_regex(trim(text), '\\s+')) / 64.0)
+            * 0.4
+        + LEAST(1.0, ROUND(({hits})
+            / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1),
+            6) * 4.0) * 0.4
+        + CASE WHEN ROUND(len(regexp_extract_all(text, '[.,!?;:]'))
+                          / GREATEST(length(text), 1), 6) < 0.1
+               THEN 0.2 ELSE 0.0 END, 6)"""
+    return f"""
+    WITH q AS (SELECT {qs} AS qs FROM documents),
+    th AS (SELECT ROUND(quantile_cont(qs, 0.25), 6) AS t0,
+                  ROUND(quantile_cont(qs, 0.50), 6) AS t1,
+                  ROUND(quantile_cont(qs, 0.75), 6) AS t2
+           FROM q)
+    SELECT CAST((CASE WHEN qs > t0 THEN 1 ELSE 0 END
+               + CASE WHEN qs > t1 THEN 1 ELSE 0 END
+               + CASE WHEN qs > t2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(qs), 6) AS avg_quality
+    FROM q CROSS JOIN th
+    GROUP BY 1
+    """
+
+
+def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition matrix over a transcript corpus derived from
+    orders (conv = customer, turns in orderkey order, role from the
+    order status) — conversation-shape profiling."""
+    from pyspark.sql import Window
+
+    from serd_spark.operators.analytics import role_transitions
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    turns = orders.select(
+        F.col("o_custkey").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.when(F.col("o_orderstatus") == "O", F.lit("user"))
+        .when(F.col("o_orderstatus") == "F", F.lit("assistant"))
+        .otherwise(F.lit("tool")).alias("role"),
+    )
+    return role_transitions(turns)
+
+
+def _o_role_transitions(_: str) -> str:
+    return """
+    WITH turns AS (
+        SELECT o_custkey AS conv_id,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey) AS turn_idx,
+               CASE o_orderstatus WHEN 'O' THEN 'user'
+                                  WHEN 'F' THEN 'assistant'
+                                  ELSE 'tool' END AS role
+        FROM orders),
+    pairs AS (
+        SELECT role,
+               LEAD(role) OVER (PARTITION BY conv_id
+                                ORDER BY turn_idx) AS next_role
+        FROM turns)
+    SELECT role, next_role, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs WHERE next_role IS NOT NULL
+    GROUP BY role, next_role
+    """
+
+
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.sessions import funnel_counts
 
@@ -2265,6 +2363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decon": _q_semantic_decon,
         "sessionize": _q_sessionize,
         "funnel": _q_funnel,
+        "rolling_revenue": _q_rolling_revenue,
+        "quality_buckets": _q_quality_buckets,
+        "role_transitions": _q_role_transitions,
         "retention": _q_retention,
         "props_stats": _q_props_stats,
         "asof_attrib": _q_asof_attrib,
@@ -2331,6 +2432,9 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decon": _o_semantic_decon(sf),
         "sessionize": _o_sessionize(sf),
         "funnel": _o_funnel(sf),
+        "rolling_revenue": _o_rolling_revenue(sf),
+        "quality_buckets": _o_quality_buckets(sf),
+        "role_transitions": _o_role_transitions(sf),
         "retention": _o_retention(sf),
         "props_stats": _o_props_stats(sf),
         "asof_attrib": _o_asof_attrib(sf),

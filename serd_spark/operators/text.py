@@ -488,6 +488,42 @@ def low_quality_source_docs(
                      docs[source_col] == bad.source, "leftsemi")
 
 
+def quality_buckets(
+    docs: DataFrame, text_col: str = "text",
+    percentiles: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Quartile composition of the corpus by quality score:
+    (bucket, n_docs, avg_quality) — the data-mixing analysis that
+    decides how much of each quality band a training mix keeps.
+
+    Deliberately NOT ``ntile``: a corpus-wide ntile is an
+    unpartitioned window — one task sorts the whole corpus at scale.
+    Instead the exact percentile thresholds come from ONE aggregation
+    (``percentile``, same linear interpolation as SQL
+    ``quantile_cont``; swap ``percentile_approx`` for the sketch at
+    huge scale), broadcast back as a single row, and bucket assignment
+    is a map-side comparison — no global sort anywhere.  Bucket k =
+    number of thresholds strictly below the score, so bucket
+    boundaries are closed on the left engine-portably."""
+    q = quality_score_col(F.col(text_col))
+    scored = docs.select(q.alias("qs"))
+    th = scored.agg(*[
+        F.round(F.percentile(F.col("qs"), F.lit(p)), 6)
+        .alias(f"_t{i}")
+        for i, p in enumerate(percentiles)])
+    bucket = F.lit(0)
+    for i in range(len(percentiles)):
+        bucket = bucket + F.when(
+            F.col("qs") > F.col(f"_t{i}"), 1).otherwise(0)
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.round(F.avg("qs"), 6).alias("avg_quality"))
+    )
+
+
 def doc_length_profile(
     docs: DataFrame, text_col: str = "text",
     percentiles: tuple = (0.5, 0.9, 0.99),
