@@ -830,6 +830,59 @@ _LSH_PAIRS_CTE = """
 """
 
 
+def _q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs → connected components → best-quality representative
+    per cluster: the shipped dedup composition, hash-gated end to end
+    (recursive-CTE CC + quality argmax in the oracle)."""
+    from serd_spark.operators.dedup import (
+        cluster_representatives,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n_bands=4, shingle_k=3,
+                              max_bucket=64)
+    return cluster_representatives(docs, pairs)
+
+
+def _o_cluster_reps(_: str) -> str:
+    stop = ["the", "and", "of", "to", "is", "a", "in", "it", "for", "on"]
+    hits = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in stop)
+    qs = f"""ROUND(
+        LEAST(1.0, len(string_split_regex(trim(text), '\\s+')) / 64.0)
+            * 0.4
+        + LEAST(1.0, ROUND(({hits})
+            / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1),
+            6) * 4.0) * 0.4
+        + CASE WHEN ROUND(len(regexp_extract_all(text, '[.,!?;:]'))
+                          / GREATEST(length(text), 1), 6) < 0.1
+               THEN 0.2 ELSE 0.0 END, 6)"""
+    return f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTE},
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    cc AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+           FROM reach GROUP BY u),
+    q AS (SELECT doc_id, {qs} AS quality_score FROM documents),
+    j AS (SELECT cc.cluster_id, cc.doc_id, q.quality_score
+          FROM cc JOIN q USING (doc_id)),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY quality_score DESC,
+                                             doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM j)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS rep_doc_id,
+           quality_score,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """
+
+
 def _q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.dedup import minhash_lsh_pairs
     from serd_spark.operators.graph import degree_stats
@@ -2325,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "minhash_incremental": _q_minhash_incremental,
         "dedup_clusters": _q_dedup_clusters,
+        "cluster_reps": _q_cluster_reps,
         "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
         "triangle_count": _q_triangle_count,
@@ -2396,6 +2450,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _o_minhash_lsh(sf),
         "minhash_incremental": _o_minhash_incremental(sf),
         "dedup_clusters": _o_dedup_clusters(sf),
+        "cluster_reps": _o_cluster_reps(sf),
         "graph_degrees": _o_graph_degrees(sf),
         "pagerank": _o_pagerank(sf),
         "triangle_count": _o_triangle_count(sf),

@@ -36,7 +36,7 @@ HEADLINE = [
     "nt_roundtrip", "agg_pricing", "broadcast_expand",
     "anti_join_undefined", "window_stmt_idx", "explode_fanout",
     "sorted_topk", "join_revenue", "set_ops", "exact_dedup", "dedup_keep_best",
-    "minhash_lsh", "minhash_incremental", "dedup_clusters", "ngram_jaccard", "simhash",
+    "minhash_lsh", "minhash_incremental", "dedup_clusters", "cluster_reps", "ngram_jaccard", "simhash",
     "cosine_topk",
     "quality", "langid", "langid_eval", "lm_score", "winnowing", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "stratified_take", "doc_profile", "repetition", "pii_scrub",
     "contamination", "pack_chunks", "domain_stats", "domain_filter", "clean_corpus",

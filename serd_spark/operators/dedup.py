@@ -548,6 +548,42 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def cluster_representatives(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text",
+    max_iter: int = 25,
+) -> DataFrame:
+    """End-to-end near-dup collapse: candidate pairs → connected
+    components (:func:`dup_clusters`) → per-cluster BEST-quality
+    representative — the composition a real dedup pipeline actually
+    ships (LSH finds the pairs, CC groups them, keep-best decides who
+    survives).  Output: (cluster_id, rep_doc_id, quality_score,
+    n_members).
+
+    One corpus scan computes the fused quality score; the label table
+    (pair-graph-sized, not corpus-sized) joins it keyed by doc_id; one
+    window shuffle keyed by cluster does both the member count and the
+    argmax (same exchange, two window functions)."""
+    from .text import quality_score_col
+
+    labels = dup_clusters(pairs, max_iter=max_iter)
+    scored = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        quality_score_col(F.col(text_col)).alias("quality_score"))
+    j = labels.join(scored, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc())
+    return (
+        j.withColumn("n_members",
+                     F.count("*").over(wc).cast("long"))
+        .withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") <= 1)
+        .select("cluster_id",
+                F.col("doc_id").alias("rep_doc_id"),
+                "quality_score", "n_members")
+    )
+
+
 def exact_dedup_keep_best(
     docs: DataFrame, score: DataFrame | None = None,
     text_col: str = "text",
