@@ -1969,6 +1969,69 @@ def _o_sessionize(_: str) -> str:
     """
 
 
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: the 'new' crawl drops every 13th doc, edits
+    every 7th (of the survivors), and adds shifted copies of every
+    11th — reconstructed identically by the oracle."""
+    from serd_spark.operators.analytics import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.where(F.col("doc_id") % 13 != 0)
+    new = kept.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" EDITED")))
+        .otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return corpus_diff(docs.select("doc_id", "text"), new)
+
+
+def _o_corpus_diff(_: str) -> str:
+    return """
+    WITH old AS (
+        SELECT doc_id, md5(text) AS h FROM documents),
+    new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' EDITED'
+                        ELSE text END) AS h
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, md5(text)
+        FROM documents WHERE doc_id % 11 = 0),
+    j AS (
+        SELECT CASE WHEN o.h IS NULL THEN 'added'
+                    WHEN n.h IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n USING (doc_id))
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY status
+    """
+
+
+def _q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.analytics import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+def _o_profile_columns(_: str) -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    parts = [
+        f"""SELECT '{c}' AS column,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM orders"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def _q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.analytics import rolling_revenue
 
@@ -2418,6 +2481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "funnel": _q_funnel,
         "rolling_revenue": _q_rolling_revenue,
+        "corpus_diff": _q_corpus_diff,
+        "profile_columns": _q_profile_columns,
         "quality_buckets": _q_quality_buckets,
         "role_transitions": _q_role_transitions,
         "retention": _q_retention,
@@ -2488,6 +2553,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _o_sessionize(sf),
         "funnel": _o_funnel(sf),
         "rolling_revenue": _o_rolling_revenue(sf),
+        "corpus_diff": _o_corpus_diff(sf),
+        "profile_columns": _o_profile_columns(sf),
         "quality_buckets": _o_quality_buckets(sf),
         "role_transitions": _o_role_transitions(sf),
         "retention": _o_retention(sf),

@@ -40,6 +40,64 @@ def rolling_revenue(
     )
 
 
+def corpus_diff(
+    old: DataFrame, new: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions by content hash:
+    (status ∈ added / removed / changed / unchanged, n_docs) — the
+    ingest regression gate between crawl drops (a sudden spike in
+    `changed` means the extractor drifted; in `removed`, the source
+    rotted).
+
+    md5 is computed inside each side's scan projection; the diff is
+    ONE full outer join keyed by doc id (both sides hash-partition —
+    no broadcast assumption between two corpus-scale snapshots) and a
+    map-side-combined count."""
+    o = old.select(F.col(id_col).cast("long").alias("doc_id"),
+                   F.md5(F.col(text_col)).alias("_ho"))
+    n = new.select(F.col(id_col).cast("long").alias("doc_id"),
+                   F.md5(F.col(text_col)).alias("_hn"))
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, "doc_id", "full")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def profile_columns(df: DataFrame, cols: list) -> DataFrame:
+    """Per-column completeness/cardinality profile: (column, n_rows,
+    n_null, n_distinct) — the schema-drift / ingest-quality gate run
+    before anything downstream trusts a new snapshot.
+
+    ONE aggregation computes every column's counts in a single pass
+    over the table (count + per-column count + exact distinct; swap
+    ``approx_count_distinct`` for the HLL sketch at extreme
+    cardinalities), then a ``stack`` unpivot reshapes the single
+    result row — no per-column scans, no driver loop over data."""
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+    row = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _n - _nn_{c}, _nd_{c}" for c in cols)
+    return row.selectExpr(
+        "_n", f"stack({len(cols)}, {stack}) AS (column, n_null,"
+              " n_distinct)").select(
+        F.col("column"),
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"))
+
+
 def role_transitions(
     turns: DataFrame, key_cols: tuple = ("conv_id",),
     order_col: str = "turn_idx", role_col: str = "role",
