@@ -172,6 +172,11 @@ def kg_parse_job(spark, corpus_path: str) -> tuple[int, float]:
 def scaling_run(corpus_path: str, turns: int) -> dict:
     out = {"turns": turns, "corpus": corpus_path}
     for cores, key in ((SCALE_N, "N"), (SCALE_4N, "4N")):
+        # per-leg calibration: a noisy-neighbor window hitting ONE leg
+        # skews the ratio in either direction (slow N → fake
+        # super-linear, slow 4N → fake sub-linear); the per-leg probe
+        # makes that attributable instead of judged as a regression
+        out[f"probe_{key}"] = calibration_probe(repeats=2)
         spark = _mk_spark(cores, 128)
         try:
             n_triples, sec = kg_parse_job(spark, corpus_path)
@@ -194,12 +199,16 @@ def main() -> None:
 
     corpus_path, turns = ensure_corpus(BENCH_TURNS)
 
+    skip_headline = os.environ.get("SPARK_GRAFT_SKIP_HEADLINE") == "1"
     probe_before = calibration_probe()
-    spark = _mk_spark(CPUS, 64)
-    try:
-        queries, passes = run_headline(spark, SF_DIR)
-    finally:
-        spark.stop()
+    if skip_headline:
+        queries, passes = {}, []
+    else:
+        spark = _mk_spark(CPUS, 64)
+        try:
+            queries, passes = run_headline(spark, SF_DIR)
+        finally:
+            spark.stop()
     probe_after = calibration_probe()
 
     kg = None if skip_scaling else scaling_run(corpus_path, turns)
