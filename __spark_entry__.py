@@ -1882,6 +1882,46 @@ def _o_embedding_neardup(_: str) -> str:
     """
 
 
+def _q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse assignment with an EXACT oracle: deterministic
+    md5-sampled centroids, max-cosine cell per vector (JVM float path
+    — argmax is bit-stable across engines because both sum the dot
+    left-to-right in doubles).  Upgrades the assignment stage of the
+    rows-only `ivf_ann` to a hash-gated contract row."""
+    from serd_spark.operators.similarity import ivf_assign
+
+    assigned, _ = ivf_assign(_t(spark, sf_dir, "embeddings"),
+                             n_cells=16)
+    return assigned.select(F.col("vec_id").cast("long").alias("vec_id"),
+                           F.col("cell").cast("long").alias("cell"))
+
+
+def _o_ivf_cells(_: str) -> str:
+    return """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+        SELECT ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
+               v AS cv
+        FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+    scored AS (
+        SELECT e.vec_id, cents.cell,
+               list_dot_product(e.v, cents.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(cents.cv, cents.cv))) AS csim
+        FROM e CROSS JOIN cents),
+    r AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell ASC) AS rn
+        FROM scored)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cell AS BIGINT) AS cell
+    FROM r WHERE rn = 1
+    """
+
+
 def _q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: corpus vectors within cosine
     0.4 of any eval-subset vector (eval = vec_id % 9 == 0).  The
@@ -2478,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens_real": _q_bpe_tokens_real,
         "embedding_neardup": _q_embedding_neardup,
         "semantic_decon": _q_semantic_decon,
+        "ivf_cells": _q_ivf_cells,
         "sessionize": _q_sessionize,
         "funnel": _q_funnel,
         "rolling_revenue": _q_rolling_revenue,
@@ -2550,6 +2591,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),
         "semantic_decon": _o_semantic_decon(sf),
+        "ivf_cells": _o_ivf_cells(sf),
         "sessionize": _o_sessionize(sf),
         "funnel": _o_funnel(sf),
         "rolling_revenue": _o_rolling_revenue(sf),
