@@ -2009,6 +2009,44 @@ def _o_sessionize(_: str) -> str:
     """
 
 
+def _q_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.analytics import hourly_error_rates
+
+    return hourly_error_rates(_t(spark, sf_dir, "events"))
+
+
+def _o_error_rates(_: str) -> str:
+    return """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
+           ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS error_rate
+    FROM events GROUP BY date_trunc('hour', ts)
+    """
+
+
+def _q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serd_spark.operators.analytics import value_outliers
+
+    return value_outliers(_t(spark, sf_dir, "events"), z=2.5)
+
+
+def _o_value_outliers(_: str) -> str:
+    return """
+    WITH s AS (
+        SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+        FROM events GROUP BY event_type)
+    SELECT CAST(e.event_id AS BIGINT) AS event_id,
+           e.event_type,
+           ROUND(e.value, 6) AS value,
+           ROUND((e.value - s.mu) / s.sd, 6) AS zscore
+    FROM events e JOIN s USING (event_type)
+    WHERE abs(ROUND((e.value - s.mu) / s.sd, 6)) > 2.5
+    """
+
+
 def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff: the 'new' crawl drops every 13th doc, edits
     every 7th (of the survivors), and adds shifted copies of every
@@ -2523,6 +2561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "rolling_revenue": _q_rolling_revenue,
         "corpus_diff": _q_corpus_diff,
+        "error_rates": _q_error_rates,
+        "value_outliers": _q_value_outliers,
         "profile_columns": _q_profile_columns,
         "quality_buckets": _q_quality_buckets,
         "role_transitions": _q_role_transitions,
@@ -2596,6 +2636,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _o_funnel(sf),
         "rolling_revenue": _o_rolling_revenue(sf),
         "corpus_diff": _o_corpus_diff(sf),
+        "error_rates": _o_error_rates(sf),
+        "value_outliers": _o_value_outliers(sf),
         "profile_columns": _o_profile_columns(sf),
         "quality_buckets": _o_quality_buckets(sf),
         "role_transitions": _o_role_transitions(sf),

@@ -43,7 +43,7 @@ HEADLINE = [
     "graph_degrees", "pagerank", "triangle_count", "kcore", "compression_quality",
     "bpe_tokens_real", "dup_ngram", "bigram_pmi", "source_quality",
     "cdc_spans", "tfidf_topk",
-    "embedding_neardup", "semantic_decon", "ivf_cells", "sessionize", "funnel", "retention", "props_stats", "rolling_revenue", "quality_buckets", "role_transitions", "corpus_diff", "profile_columns", "asof_attrib", "kg_parse_nt",
+    "embedding_neardup", "semantic_decon", "ivf_cells", "sessionize", "funnel", "retention", "props_stats", "rolling_revenue", "quality_buckets", "role_transitions", "corpus_diff", "profile_columns", "error_rates", "value_outliers", "asof_attrib", "kg_parse_nt",
     "kg_entity_link", "kg_comention", "kg_substring_mentions",
     "kg_relations", "kg_entity_rank",
 ]

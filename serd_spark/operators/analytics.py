@@ -40,6 +40,55 @@ def rolling_revenue(
     )
 
 
+def hourly_error_rates(
+    events: DataFrame, ts_col: str = "ts",
+    type_col: str = "event_type", error_type: str = "error",
+) -> DataFrame:
+    """Tumbling-hour error-rate series: (hour as yyyy-MM-dd HH string,
+    n_events, n_errors, error_rate) — the pipeline-health monitor
+    (a spiking hour means an extractor or source regressed).  One
+    map-side-combined aggregation keyed by the hour bucket; the bucket
+    is a string so hashing is engine-portable."""
+    hour = F.date_format(
+        F.date_trunc("hour", F.col(ts_col).cast("timestamp")),
+        "yyyy-MM-dd HH")
+    is_err = F.when(F.col(type_col) == error_type, 1).otherwise(0)
+    return (
+        events.select(hour.alias("hour"), is_err.alias("_e"))
+        .groupBy("hour")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.sum("_e").cast("long").alias("n_errors"))
+        .withColumn("error_rate",
+                    F.round(F.col("n_errors") / F.col("n_events"), 6))
+    )
+
+
+def value_outliers(
+    events: DataFrame, z: float = 2.5, type_col: str = "event_type",
+    val_col: str = "value", id_col: str = "event_id",
+) -> DataFrame:
+    """Per-type z-score outliers: events whose value deviates more
+    than ``z`` sample standard deviations from their type's mean —
+    the telemetry anomaly gate.  The per-type (mean, stddev) table is
+    ONE aggregation (type-cardinality rows) broadcast back; the filter
+    is a map-side comparison, so the corpus never shuffles.  Output:
+    (event_id, event_type, value, zscore)."""
+    stats = events.groupBy(F.col(type_col).alias("event_type")).agg(
+        F.avg(val_col).alias("_mu"),
+        F.stddev_samp(val_col).alias("_sd"))
+    zscore = F.round((F.col(val_col) - F.col("_mu")) / F.col("_sd"), 6)
+    return (
+        events.select(F.col(id_col).cast("long").alias("event_id"),
+                      F.col(type_col).alias("event_type"),
+                      F.col(val_col).alias("value"))
+        .join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", zscore)
+        .where(F.abs(F.col("zscore")) > z)
+        .select("event_id", "event_type",
+                F.round("value", 6).alias("value"), "zscore")
+    )
+
+
 def corpus_diff(
     old: DataFrame, new: DataFrame, text_col: str = "text",
     id_col: str = "doc_id",
