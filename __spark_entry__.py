@@ -937,7 +937,9 @@ def _o_pagerank(_: str) -> str:
     return f"""
     WITH {_LSH_PAIRS_CTE},
     {chained}
-    SELECT u AS doc_id, ROUND(r, 6) AS rank FROM r{n_iter}
+    SELECT u AS doc_id,
+           FLOOR(ROUND(ROUND(r, 6) * 1000000, 0) / 100) / 10000.0 AS rank
+    FROM r{n_iter}
     """
 
 
@@ -1568,7 +1570,9 @@ def _o_kg_entity_rank(_: str) -> str:
             GROUP BY e.v) s ON n.u = s.u)""")
     return f"""
     WITH {','.join(ctes)}
-    SELECT u AS node, ROUND(r, 6) AS rank FROM r{n_iter}
+    SELECT u AS node,
+           FLOOR(ROUND(ROUND(r, 6) * 1000000, 0) / 100) / 10000.0 AS rank
+    FROM r{n_iter}
     """
 
 
@@ -1947,7 +1951,10 @@ def _o_semantic_decon(_: str) -> str:
                  / (sqrt(list_dot_product(tr.v, tr.v))
                     * sqrt(list_dot_product(ev.v, ev.v))), 6) AS sim
     FROM tr CROSS JOIN ev
-    WHERE ROUND(list_dot_product(tr.v, ev.v)
+    WHERE isfinite(ROUND(list_dot_product(tr.v, ev.v)
+                / (sqrt(list_dot_product(tr.v, tr.v))
+                   * sqrt(list_dot_product(ev.v, ev.v))), 6))
+      AND ROUND(list_dot_product(tr.v, ev.v)
                 / (sqrt(list_dot_product(tr.v, tr.v))
                    * sqrt(list_dot_product(ev.v, ev.v))), 6) >= 0.4
     """
@@ -2276,7 +2283,7 @@ def _o_props_stats(_: str) -> str:
            MAX(k) AS k_max,
            ROUND(AVG(k), 6) AS k_avg
     FROM (SELECT event_type,
-                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           FROM events)
     GROUP BY event_type
     """

@@ -22,6 +22,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _rank_e4(r):
+    """Engine-portable e-4-grain quantization for ITERATIVELY
+    accumulated doubles: round to 6 dp first (the grain both engines
+    produce bit-identically — four rounds of hash-green evidence),
+    scale to an exact near-integer (k/1e6 · 1e6 ≈ k, never near a .5
+    boundary, so HALF_UP-on-shortest-repr vs C-float rounding cannot
+    disagree), then integer FLOOR-divide down to the e-4 grain and
+    rescale.  A direct ``round(r, 4)`` is NOT safe here: ranks from
+    small rational graphs land exactly on 4-dp half-boundaries
+    (0.01255), where Spark's BigDecimal HALF_UP and DuckDB's float
+    rounding resolve the unrepresentable .5 differently — a
+    deterministic cross-engine mismatch, not even a drift flip.  With
+    this path a flip needs a 6-dp drift flip AND that boundary to be a
+    multiple of 100 ppm: ~100× the old 6-dp margin."""
+    ppm = F.round(F.round(r, 6) * F.lit(1e6), 0)
+    return (F.floor(ppm / F.lit(100)) / F.lit(1e4)).alias("rank")
+
+
 def _sym_edges(pairs: DataFrame) -> DataFrame:
     return pairs.select(F.col("doc_a").alias("u"),
                         F.col("doc_b").alias("v")).union(
@@ -134,12 +152,14 @@ def pagerank(
 
     rank_{k+1}(v) = (1-d)/n + d * Σ_{u→v} rank_k(u) / outdeg(u)
 
-    Float caveat: 6-dp rounding absorbs JVM-vs-oracle summation-order
-    differences on the contract fixtures (green at both SFs), but an
-    iterative float accumulation CAN land on a rounding boundary on
-    other data — when reusing this against a new oracle, prefer a
-    tolerance comparison (or coarser rounding) over an exact hash.
-    """
+    Float grain: the output quantizes to the e-4 grain via
+    :func:`_rank_e4` (round-6-then-floor-divide) rather than the 6 dp
+    the non-iterative operators use, because the rank is an
+    ITERATIVELY accumulated double — engines that sum contributions
+    in a different order (the DuckDB oracle, a different
+    partitioning) agree only to ~1e-12 absolute, and an exact-hash
+    gate needs the quantization boundary far from that drift; see
+    ``test_pagerank_rounding_survives_summation_order``."""
     edges = _sym_edges(pairs).localCheckpoint()
     nodes = edges.select("u").distinct()
     n = nodes.count()
@@ -164,7 +184,7 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select(F.col("u").alias("doc_id"),
-                        F.round("r", 6).alias("rank"))
+                        _rank_e4(F.col("r")))
 
 
 def pagerank_weighted(
@@ -185,7 +205,8 @@ def pagerank_weighted(
     per round keyed by destination with map-side-combined sums,
     weighted degrees computed once, localCheckpoint lineage
     truncation, fixed rounds → exact unrolled-CTE SQL mirror.
-    Output: (node, rank) rounded to 6 dp."""
+    Output: (node, rank) at the e-4 iterative-accumulation grain —
+    see :func:`pagerank`'s float-grain note and :func:`_rank_e4`."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
                      F.col(weight).cast("double").alias("w"))
     sym = e.union(
@@ -213,4 +234,4 @@ def pagerank_weighted(
             .localCheckpoint()
         )
     return ranks.select(F.col("u").alias("node"),
-                        F.round("r", 6).alias("rank"))
+                        _rank_e4(F.col("r")))

@@ -140,11 +140,25 @@ class AhoCorasick:
                 yield i - len(pat) + 1, pat
 
 
-# Executor-process cache: AC automata keyed by the identity of the
-# deserialized broadcast dictionary (PySpark caches a broadcast's
-# value per worker process, so the id is stable there) — the automaton
-# builds ONCE per executor, not once per task.
-_AC_CACHE: dict = {}
+# Executor-process cache: one (broadcast_id, automaton) slot per
+# worker process so the automaton builds ONCE per executor, not once
+# per task.  Keyed by the Broadcast's stable small-integer JVM id
+# (captured driver-side into the closure — the worker-side Broadcast
+# object doesn't expose it) — NOT ``id(bc.value)``: if a deserialized
+# broadcast dict were ever GC'd (``bc.unpersist()``, many distinct
+# dictionaries) a later dict could be allocated at the same address
+# and silently serve the WRONG automaton.  The single slot also
+# bounds memory across jobs that ship different dictionaries through
+# one long-lived worker.
+_AC_CACHE: list = [(None, None)]
+
+
+def _ac_for(bcid: int, bc) -> "AhoCorasick":
+    cached_id, ac = _AC_CACHE[0]
+    if cached_id != bcid:
+        ac = AhoCorasick(sorted(bc.value))
+        _AC_CACHE[0] = (bcid, ac)
+    return ac
 
 
 def detect_mentions_substring(
@@ -173,6 +187,7 @@ def detect_mentions_substring(
         by_alias.setdefault(r.alias, []).append(
             (r.entity_id, r.iri, list(r.ctx)))
     bc = turns.sparkSession.sparkContext.broadcast(by_alias)
+    bcid = int(bc._jbroadcast.id())
 
     out_schema = (
         ", ".join(f"{c} {turns.schema[c].dataType.simpleString()}"
@@ -183,9 +198,7 @@ def detect_mentions_substring(
 
     def run(batches):
         by_alias = bc.value
-        ac = _AC_CACHE.get(id(by_alias))
-        if ac is None:
-            ac = _AC_CACHE[id(by_alias)] = AhoCorasick(sorted(by_alias))
+        ac = _ac_for(bcid, bc)
         for pdf in batches:
             rows = []
             for t in pdf.itertuples(index=False):

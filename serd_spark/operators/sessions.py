@@ -132,13 +132,20 @@ def asof_join(
 def funnel_counts(
     events: DataFrame, steps: list,
     key_col: str = "user_id", ts_col: str = "ts",
-    type_col: str = "event_type",
+    type_col: str = "event_type", max_gap_days: float | None = None,
 ) -> DataFrame:
     """Ordered funnel conversion: how many users completed step 1,
     then step 2 strictly AFTER their first step-1 event, and so on —
     the product-analytics primitive (and, for transcript corpora, the
     tool-call sequence funnel).  A user converts step k at the
     earliest step-k event after their step-(k-1) conversion time.
+
+    ``max_gap_days`` (default None = unbounded) additionally bounds
+    each step-k conversion to within that many days of the user's
+    step-(k-1) conversion — the conversion window every real
+    attribution setup needs (without it, a purchase years after the
+    click still "converts").  The bound is per adjacent step pair,
+    not whole-funnel.
 
     Output: (step, step_name, n_users), one row per step.
 
@@ -147,7 +154,7 @@ def funnel_counts(
     step's (user, ts) table — step tables shrink monotonically, and
     nothing ever shuffles more than the per-user event subset of one
     event type.  Fixed step list → exactly SQL-mirrorable as chained
-    CTEs."""
+    CTEs (the gap bound adds one conjunct to each join)."""
     ep = F.col(ts_col).cast("timestamp").cast("double")
     spark = events.sparkSession
     prev = None
@@ -159,6 +166,10 @@ def funnel_counts(
             cur = cur.join(
                 prev.select("u", F.col("t").alias("_pt")), "u") \
                 .where(F.col("t") > F.col("_pt"))
+            if max_gap_days is not None:
+                cur = cur.where(
+                    F.col("t") - F.col("_pt")
+                    <= F.lit(float(max_gap_days) * 86400.0))
         cur = cur.groupBy("u").agg(F.min("t").alias("t"))
         row = cur.agg(F.count("*").cast("long").alias("n_users")) \
             .select(F.lit(i).cast("long").alias("step"),
@@ -209,8 +220,13 @@ def props_stats(
     event payload (JVM ``get_json_object`` — no Python, no UDF) and
     profile it per event type.  The pattern every telemetry/transcript
     pipeline needs for tool-call payloads stored as JSON strings.
-    Output: (event_type, n, k_min, k_max, k_avg)."""
-    k = F.get_json_object(F.col(json_col), path).cast("long")
+    Output: (event_type, n, k_min, k_max, k_avg).
+
+    ``try_cast`` (not ``cast``): a single non-numeric payload must
+    degrade to a NULL that ``COUNT(k)`` skips — the same
+    null-on-failure semantics as the DuckDB oracle's ``TRY_CAST`` —
+    not abort the job under ANSI mode."""
+    k = F.get_json_object(F.col(json_col), path).try_cast("long")
     return (
         events.select(F.col(type_col).alias("event_type"),
                       k.alias("_k"))

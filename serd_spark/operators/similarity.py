@@ -330,20 +330,35 @@ def embedding_decontamination(
         eval_emb.select(F.col(id_col).alias("vec_id"),
                         F.col(vec_col).cast("array<double>").alias("v"))
         .collect(), key=lambda r: r.vec_id)
-    E = np.array([r.v for r in ev_rows], dtype=np.float64)
-    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ev_rows = [r for r in ev_rows
+               if r.v is not None and any(x != 0.0 for x in r.v)]
+    E = (np.array([r.v for r in ev_rows], dtype=np.float64)
+         if ev_rows else np.zeros((0, 1)))
+    En = E / np.linalg.norm(E, axis=1, keepdims=True) if len(E) else E
     eids = np.array([r.vec_id for r in ev_rows], dtype=np.int64)
     bc = emb.sparkSession.sparkContext.broadcast((En, eids))
     thresh = tau - margin
 
+    dim = int(En.shape[1]) if len(En) else 0
+
     def find(batches):
         En_, eids_ = bc.value
         for pdf in batches:
-            if not len(pdf):
+            if not len(pdf) or not len(En_):
                 continue
-            X = np.array(pdf["v"].tolist(), dtype=np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            ii, jj = np.nonzero(Xn @ En_.T >= thresh)
+            # Same null/zero-norm guard as ivf_assign: null embeddings
+            # become zero vectors and zero-norm rows are masked out of
+            # the threshold (cosine undefined → no candidates, rather
+            # than a np.array crash on None or NaN rows that silently
+            # pass/fail the >= comparison differently per engine).
+            X = np.array(
+                [v if v is not None else [0.0] * dim
+                 for v in pdf["v"].tolist()], dtype=np.float64)
+            xn = np.linalg.norm(X, axis=1)
+            Xn = X / np.where(xn == 0, 1.0, xn)[:, None]
+            sims = Xn @ En_.T
+            sims[xn == 0, :] = -np.inf
+            ii, jj = np.nonzero(sims >= thresh)
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"].values[ii],
                 "eval_id": eids_[jj],

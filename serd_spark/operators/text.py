@@ -157,6 +157,17 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     corpus statistics scores high.  Output: (doc_id, n_bigrams,
     lm_score) for docs with ≥1 bigram.
 
+    Self-counting caveat: each document's own bigrams are part of the
+    corpus counts (standard for a corpus-as-model filter, and what
+    keeps the operator one-pass/SQL-mirrorable), so rare documents
+    score slightly higher than a leave-one-out model would give them —
+    every bigram is guaranteed c_ab ≥ 1 by its own occurrence.  At
+    corpus scale the bias is O(1/corpus_count) per bigram and only
+    matters for near-singleton transitions; rank order among
+    gibberish vs fluent docs is unaffected.  If true held-out scoring
+    is needed, fit the count tables on a disjoint split and join them
+    against the scored corpus instead.
+
     Scale shape: unigram/bigram count tables are map-side-combined
     aggregations; the per-doc bigram stream joins them keyed by
     bigram/word (vocabulary-sized build sides, corpus-sized probe —

@@ -1080,7 +1080,61 @@ def test_pagerank_matches_numpy_power_iteration(spark):
             nxt[idx[v]] += 0.85 * r[idx[u]] / od[u]
         r = nxt
     for v in nodes:
-        assert abs(got[v] - round(float(r[idx[v]]), 6)) < 1e-9, v
+        assert abs(got[v] - _rank_e4_py(float(r[idx[v]]))) < 1e-9, v
+
+
+def _rank_e4_py(x: float) -> float:
+    """Python mirror of graph._rank_e4: round-6, scale to near-integer
+    ppm, floor-divide to the e-4 grain."""
+    import math
+
+    return math.floor(round(round(x, 6) * 1e6) / 100) / 1e4
+
+
+def test_pagerank_rounding_survives_summation_order(spark):
+    """The defused knife-edge: the oracle (and any repartitioning)
+    sums per-node contributions in a DIFFERENT float order than the
+    JVM.  Emulate the worst case — forward vs reversed edge-order
+    accumulation on a denser random graph — and require that the 4-dp
+    grain the operator emits is identical under both orders AND equal
+    to Spark's output.  At round(…, 6) this family was one summation
+    reorder away from a hash flip; at 4 dp the boundary is ~7 orders
+    of magnitude from the ~1e-12 accumulation drift."""
+    import random
+
+    import numpy as np
+
+    from serd_spark.operators.graph import pagerank
+
+    rng = random.Random(42)
+    nodes = list(range(40))
+    edges = sorted({(a, b) for a, b in
+                    ((rng.randrange(40), rng.randrange(40))
+                     for _ in range(300)) if a != b})
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.rank for r in pagerank(df, n_iter=5).collect()}
+
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    present = sorted({x for e in sym for x in e})
+    idx = {v: i for i, v in enumerate(present)}
+    n = len(present)
+    od = {v: sum(1 for u, _ in sym if u == v) for v in present}
+
+    def power(order):
+        r = np.full(n, 1.0 / n)
+        for _ in range(5):
+            nxt = np.full(n, 0.15 / n)
+            for u, v in order:
+                nxt[idx[v]] += 0.85 * r[idx[u]] / od[u]
+            r = nxt
+        return r
+
+    fwd, rev = power(sym), power(list(reversed(sym)))
+    for v in present:
+        a = _rank_e4_py(float(fwd[idx[v]]))
+        b = _rank_e4_py(float(rev[idx[v]]))
+        assert a == b, (v, fwd[idx[v]], rev[idx[v]])
+        assert abs(got[v] - a) < 1e-9, v
 
 
 def test_funnel_ordering_semantics(spark):
@@ -1112,6 +1166,43 @@ def test_funnel_ordering_semantics(spark):
            funnel_counts(events, ["view", "click", "purchase"])
            .collect()}
     assert got == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_funnel_conversion_window_bounds_step_gaps(spark):
+    """max_gap_days bounds each step-k conversion relative to the
+    step-(k-1) conversion time: a click 3 days after the view falls
+    out of a 2-day window but stays in an unbounded/4-day one, and
+    the bound is per-adjacent-pair (a fast purchase after a slow
+    click still needs the click to have converted)."""
+    from datetime import datetime as DT
+
+    from serd_spark.operators.sessions import funnel_counts
+
+    rows = [
+        # u1: view day1, click day2, purchase day3 — all gaps 1 day
+        (1, DT(2024, 1, 1), 1, "view", 0.0, "{}"),
+        (2, DT(2024, 1, 2), 1, "click", 0.0, "{}"),
+        (3, DT(2024, 1, 3), 1, "purchase", 0.0, "{}"),
+        # u2: view day1, click day4 (gap 3d), purchase day4.5
+        (4, DT(2024, 1, 1), 2, "view", 0.0, "{}"),
+        (5, DT(2024, 1, 4), 2, "click", 0.0, "{}"),
+        (6, DT(2024, 1, 4, 12), 2, "purchase", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    steps = ["view", "click", "purchase"]
+
+    def run(gap):
+        return {r.step_name: r.n_users for r in
+                funnel_counts(events, steps, max_gap_days=gap)
+                .collect()}
+
+    assert run(None) == {"view": 2, "click": 2, "purchase": 2}
+    # 2-day window: u2's 3-day view->click gap drops, and with it the
+    # downstream purchase even though its own gap is half a day
+    assert run(2) == {"view": 2, "click": 1, "purchase": 1}
+    assert run(4) == {"view": 2, "click": 2, "purchase": 2}
 
 
 def test_winnowing_shared_run_guarantee(spark):
@@ -1204,7 +1295,7 @@ def test_pagerank_weighted_matches_numpy(spark):
             nxt[idx[b]] += 0.85 * r[idx[a]] * w / wd[a]
         r = nxt
     for v in nodes:
-        assert abs(got[v] - round(r[idx[v]], 6)) < 1e-9, v
+        assert abs(got[v] - _rank_e4_py(r[idx[v]])) < 1e-9, v
     # the heavy c-d edge must pull d above a (unweighted degree ties)
     assert got["d"] > got["a"]
 
