@@ -1490,6 +1490,69 @@ def _o_winnowing(_: str) -> str:
     """
 
 
+def _q_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style cross-doc matching over the winnowing fingerprint
+    sets: pairs sharing >= 2 selected fingerprints with each side's
+    set size — integer-only output, shuffle join on the fp key with
+    the same hot-bucket cap discipline as minhash_lsh_pairs."""
+    from serd_spark.operators.text import winnowing_matches
+
+    return winnowing_matches(_t(spark, sf_dir, "documents"),
+                             k=3, w=4, min_shared=2, max_bucket=64)
+
+
+def _o_winnowing_matches(_: str) -> str:
+    return """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+                   AS w
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+               generate_subscripts(g, 1) - 1 AS pos,
+               unnest(g) AS gram
+        FROM (SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                         list_transform(range(1, len(w)-1),
+                             i -> w[i] || ' ' || w[i+1] || ' '
+                                  || w[i+2])
+                     ELSE [] END AS g
+              FROM t)),
+    hashed AS (
+        SELECT doc_id, pos, substr(md5(gram), 1, 16) AS h
+        FROM grams),
+    winmin AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                                     AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n
+        FROM hashed),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM winmin WHERE pos <= n - 4),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps
+        FROM fps GROUP BY doc_id),
+    rare AS (
+        SELECT doc_id, fp FROM fps
+        WHERE fp IN (SELECT fp FROM fps
+                     GROUP BY fp HAVING COUNT(*) <= 64)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM rare a JOIN rare b ON a.fp = b.fp
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 2)
+    SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
+           CAST(p.doc_b AS BIGINT) AS doc_b,
+           p.n_shared, sa.n_fps AS n_a, sb.n_fps AS n_b
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    """
+
+
 def _q_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc duplicate 5-gram fraction per document — the
     'dedupable fraction' profile that motivates span-level dedup."""
@@ -2511,57 +2574,20 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order = verification priority, NOT topic grouping.
+
+    The external correctness gate records the FIRST 50 entries, so the
+    dict is ordered least-recently-driver-verified first: (1) the 21
+    entries that got no round-4 driver row (the r4 registry's tail),
+    (2) queries whose implementation changed this round (the
+    iterative-rank quantization) and brand-new contract queries,
+    (3) family-adjacent re-verifications, and only then (4) the
+    long-stable basics that were hash-green in round 4 and are
+    untouched since.  New queries must be inserted in group (2), not
+    mid-list — pushing a verified entry past position 50 silently
+    drops it from the external gate (the round-4 lesson)."""
     return {
-        "nt_roundtrip": _q_nt_roundtrip,
-        "agg_pricing": _q_agg_pricing,
-        "broadcast_expand": _q_broadcast_expand,
-        "anti_join_undefined": _q_anti_join_undefined,
-        "window_stmt_idx": _q_window_stmt_idx,
-        "explode_fanout": _q_explode_fanout,
-        "sorted_topk": _q_sorted_topk,
-        "join_revenue": _q_join_revenue,
-        "set_ops": _q_set_ops,
-        "exact_dedup": _q_exact_dedup,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "minhash_lsh": _q_minhash_lsh,
-        "minhash_incremental": _q_minhash_incremental,
-        "dedup_clusters": _q_dedup_clusters,
-        "cluster_reps": _q_cluster_reps,
-        "graph_degrees": _q_graph_degrees,
-        "pagerank": _q_pagerank,
-        "triangle_count": _q_triangle_count,
-        "kcore": _q_kcore,
-        "cdc_spans": _q_cdc_spans,
-        "tfidf_topk": _q_tfidf_topk,
-        "dup_ngram": _q_dup_ngram,
-        "bigram_pmi": _q_bigram_pmi,
-        "source_quality": _q_source_quality,
-        "kg_relations": _q_kg_relations,
-        "kg_entity_rank": _q_kg_entity_rank,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash": _q_simhash,
-        "cosine_topk": _q_cosine_topk,
-        "quality": _q_quality,
-        "langid": _q_langid,
-        "langid_eval": _q_langid_eval,
-        "lm_score": _q_lm_score,
-        "winnowing": _q_winnowing,
-        "fingerprint": _q_fingerprint,
-        "token_counts": _q_token_counts,
-        "vocab_topk": _q_vocab_topk,
-        "stratified_sample": _q_stratified_sample,
-        "stratified_take": _q_stratified_take,
-        "doc_profile": _q_doc_profile,
-        "repetition": _q_repetition,
-        "pii_scrub": _q_pii_scrub,
-        "clean_corpus": _q_clean_corpus,
-        "domain_stats": _q_domain_stats,
-        "domain_filter": _q_domain_filter,
-        "contamination": _q_contamination,
-        "pack_chunks": _q_pack_chunks,
-        "compression_quality": _q_compression_quality,
-        "bpe_tokens_real": _q_bpe_tokens_real,
-        "embedding_neardup": _q_embedding_neardup,
+        # -- (1) no driver row in round 4 ------------------------------
         "semantic_decon": _q_semantic_decon,
         "ivf_cells": _q_ivf_cells,
         "sessionize": _q_sessionize,
@@ -2583,6 +2609,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_parse_turtle": _q_kg_parse_turtle,
         "srp_ann": _q_srp_ann,
         "ivf_ann": _q_ivf_ann,
+        # -- (2) changed or new this round -----------------------------
+        "pagerank": _q_pagerank,
+        "kg_entity_rank": _q_kg_entity_rank,
+        "winnowing_matches": _q_winnowing_matches,
+        # -- (3) family-adjacent re-verification -----------------------
+        "kg_relations": _q_kg_relations,
+        "graph_degrees": _q_graph_degrees,
+        "triangle_count": _q_triangle_count,
+        "kcore": _q_kcore,
+        "winnowing": _q_winnowing,
+        "lm_score": _q_lm_score,
+        "nt_roundtrip": _q_nt_roundtrip,
+        "exact_dedup": _q_exact_dedup,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "minhash_lsh": _q_minhash_lsh,
+        "minhash_incremental": _q_minhash_incremental,
+        "dedup_clusters": _q_dedup_clusters,
+        "cluster_reps": _q_cluster_reps,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "cdc_spans": _q_cdc_spans,
+        "dup_ngram": _q_dup_ngram,
+        "embedding_neardup": _q_embedding_neardup,
+        "cosine_topk": _q_cosine_topk,
+        "tfidf_topk": _q_tfidf_topk,
+        "bigram_pmi": _q_bigram_pmi,
+        "source_quality": _q_source_quality,
+        "contamination": _q_contamination,
+        "pack_chunks": _q_pack_chunks,
+        "stratified_take": _q_stratified_take,
+        "quality": _q_quality,
+        # ---- external gate window ends around here (first 50) --------
+        # -- (4) round-4 hash-green, untouched since -------------------
+        "agg_pricing": _q_agg_pricing,
+        "broadcast_expand": _q_broadcast_expand,
+        "anti_join_undefined": _q_anti_join_undefined,
+        "window_stmt_idx": _q_window_stmt_idx,
+        "explode_fanout": _q_explode_fanout,
+        "sorted_topk": _q_sorted_topk,
+        "join_revenue": _q_join_revenue,
+        "set_ops": _q_set_ops,
+        "langid": _q_langid,
+        "langid_eval": _q_langid_eval,
+        "fingerprint": _q_fingerprint,
+        "token_counts": _q_token_counts,
+        "vocab_topk": _q_vocab_topk,
+        "stratified_sample": _q_stratified_sample,
+        "doc_profile": _q_doc_profile,
+        "repetition": _q_repetition,
+        "pii_scrub": _q_pii_scrub,
+        "clean_corpus": _q_clean_corpus,
+        "domain_stats": _q_domain_stats,
+        "domain_filter": _q_domain_filter,
+        "compression_quality": _q_compression_quality,
+        "bpe_tokens_real": _q_bpe_tokens_real,
     }
 
 
@@ -2623,6 +2704,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_eval": _o_langid_eval(sf),
         "lm_score": _o_lm_score(sf),
         "winnowing": _o_winnowing(sf),
+        "winnowing_matches": _o_winnowing_matches(sf),
         "fingerprint": _o_fingerprint(sf),
         "token_counts": _o_token_counts(sf),
         "vocab_topk": _o_vocab_topk(sf),

@@ -41,7 +41,7 @@ HEADLINE = [
     "sorted_topk", "join_revenue", "set_ops", "exact_dedup", "dedup_keep_best",
     "minhash_lsh", "minhash_incremental", "dedup_clusters", "cluster_reps", "ngram_jaccard", "simhash",
     "cosine_topk",
-    "quality", "langid", "langid_eval", "lm_score", "winnowing", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "stratified_take", "doc_profile", "repetition", "pii_scrub",
+    "quality", "langid", "langid_eval", "lm_score", "winnowing", "winnowing_matches", "fingerprint", "token_counts", "vocab_topk", "stratified_sample", "stratified_take", "doc_profile", "repetition", "pii_scrub",
     "contamination", "pack_chunks", "domain_stats", "domain_filter", "clean_corpus",
     "graph_degrees", "pagerank", "triangle_count", "kcore", "compression_quality",
     "bpe_tokens_real", "dup_ngram", "bigram_pmi", "source_quality",

@@ -251,6 +251,58 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_matches(
+    docs: DataFrame, text_col: str = "text", k: int = 3, w: int = 4,
+    min_shared: int = 2, max_bucket: int = 64,
+) -> DataFrame:
+    """Cross-document winnowing matches — the actual MOSS output the
+    per-doc fingerprint sets exist for: (doc_a, doc_b, n_shared,
+    n_a, n_b) for every unordered pair sharing ≥ ``min_shared``
+    selected fingerprints, with each side's total fingerprint count
+    for containment scoring (integers only — no float column, no
+    rounding grain to defend).  The span-level complement of
+    ``minhash_lsh_pairs``: LSH estimates whole-document Jaccard,
+    winnowing matches localize shared RUNS (quotes, boilerplate,
+    plagiarized passages).
+
+    Scale shape: one self-join keyed by fingerprint hash — a plain
+    shuffle hash join on ``fp`` (no broadcast assumption: both sides
+    are corpus-sized), then one map-side-combined pair count.  The
+    same hot-bucket hazard as LSH banding applies: a boilerplate
+    fingerprint occurring in M documents fans out M² pairs, so
+    fingerprints occurring in more than ``max_bucket`` documents are
+    dropped before the join (they carry no discriminative signal —
+    the exact analogue of ``minhash_lsh_pairs``'s bucket cap, and
+    what keeps the operator alive at 100 TB where some template hash
+    WILL appear in millions of docs).  ``n_a``/``n_b`` count the full
+    uncapped sets, so containment denominators are unaffected by the
+    cap.  Every step is an exact SQL mirror (same cap, same counts).
+    """
+    fps = winnowing_fingerprints(docs, text_col, k, w)
+    sizes = fps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps"))
+    rare = fps.join(
+        fps.groupBy("fp").agg(F.count("*").alias("_nd"))
+           .where(F.col("_nd") <= max_bucket).select("fp"),
+        "fp")
+    pairs = (
+        rare.select(F.col("doc_id").alias("doc_a"), "fp")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_fps").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_fps").alias("n_b")), "doc_b")
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b")
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text (rolling-hash stand-in; md5 exists in both engines)."""

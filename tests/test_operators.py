@@ -1224,6 +1224,50 @@ def test_winnowing_shared_run_guarantee(spark):
     assert not (by[1] & by[3]) and not (by[2] & by[3])
 
 
+def test_winnowing_matches_pairs_shared_runs(spark):
+    """Cross-doc matching: two docs sharing a >= w+k-1 token run pair
+    up with n_shared >= 1 and correct per-side set sizes; a disjoint
+    doc pairs with nobody; a boilerplate fingerprint occurring in
+    more docs than max_bucket is dropped from pairing (the hot-bucket
+    cap) while n_a/n_b still count the full sets; and the plan has no
+    cartesian product."""
+    from serd_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_matches,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, "p1 p2 p3 " + shared + " s1 s2 s3"),
+         (2, "q1 q2 " + shared + " r1 r2 r3 r4"),
+         (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")],
+        "doc_id long, text string")
+    got = winnowing_matches(docs, k=3, w=4, min_shared=1)
+    rows = {(r.doc_a, r.doc_b): r for r in got.collect()}
+    assert set(rows) == {(1, 2)}
+    sizes = {r.doc_id: r[1] for r in
+             winnowing_fingerprints(docs, k=3, w=4)
+             .groupBy("doc_id").count().collect()}
+    assert rows[(1, 2)].n_a == sizes[1]
+    assert rows[(1, 2)].n_b == sizes[2]
+    assert rows[(1, 2)].n_shared >= 1
+
+    # hot-bucket cap: the same boilerplate in 3 docs, cap at 2 —
+    # every shared fingerprint sits in a 3-doc bucket, so no pairs
+    boiler = spark.createDataFrame(
+        [(i, "one two three four five six seven") for i in (1, 2, 3)],
+        "doc_id long, text string")
+    assert winnowing_matches(boiler, k=3, w=4, min_shared=1,
+                             max_bucket=2).count() == 0
+    # with the cap lifted the three pairs appear
+    assert winnowing_matches(boiler, k=3, w=4, min_shared=1,
+                             max_bucket=64).count() == 3
+
+    plan = winnowing_matches(docs, k=3, w=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_lm_bigram_score_orders_fluency(spark):
     """Text built from corpus-frequent transitions must outscore a
     doc of the same length whose transitions never repeat."""
