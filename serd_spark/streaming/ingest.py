@@ -411,3 +411,41 @@ def start_streaming_contamination(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_quality_gate(
+    stream: DataFrame, sink, text_col: str = "text",
+    min_quality: float = 0.5, lang: str = "en",
+    max_dup_2gram: float = 0.5,
+    checkpoint_path: str | None = None, available_now: bool = True,
+):
+    """Streaming quality gate: the ``foreachBatch`` form of
+    ``operators.text.clean_corpus`` — score and filter documents as
+    they land (crawl ingest, transcript tail) instead of re-scanning
+    the accumulated corpus per drop.
+
+    Because every clean_corpus predicate is a PER-ROW column
+    expression riding one projection (language vote, quality score,
+    2-gram repetition, PII count — no corpus-level state at all), the
+    micro-batch output is exactly the batch operator applied to the
+    batch's rows: stream-over-any-split == batch, test-enforced.
+    That also makes the gate embarrassingly scalable — no state
+    store, no shuffle, each executor gates its own partition slice.
+
+    ``sink(clean_df, batch_id)`` receives each batch's surviving
+    (doc_id, lang_pred, quality_score, dup_2gram_frac, n_email) rows
+    — write to the curated table / metrics there.  Returns the
+    started StreamingQuery."""
+    from ..operators.text import clean_corpus
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink(clean_corpus(batch_df, text_col=text_col,
+                          min_quality=min_quality, lang=lang,
+                          max_dup_2gram=max_dup_2gram), batch_id)
+
+    writer = stream.writeStream.foreachBatch(handle)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

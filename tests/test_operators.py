@@ -556,6 +556,43 @@ def test_streaming_contamination_matches_batch(spark, tmpdir_path):
     assert got == want and got
 
 
+def test_streaming_quality_gate_equals_batch(spark, tmpdir_path):
+    """foreachBatch quality gate over a replayed multi-file stream
+    equals clean_corpus on the full corpus — every predicate is
+    per-row, so micro-batching is invisible in the union of batch
+    outputs."""
+    from serd_spark.operators.text import clean_corpus
+    from serd_spark.streaming.ingest import start_streaming_quality_gate
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+
+    inp = os.path.join(tmpdir_path, "qgin")
+    ckpt = os.path.join(tmpdir_path, "qgckpt")
+    docs.repartition(6).write.parquet(inp)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inp)
+    )
+    got: dict[int, tuple] = {}
+
+    def sink(clean, batch_id):
+        for r in clean.collect():
+            assert r.doc_id not in got  # each doc gated at most once
+            got[r.doc_id] = (r.lang_pred, r.quality_score,
+                             r.dup_2gram_frac, r.n_email)
+
+    q = start_streaming_quality_gate(stream, sink, checkpoint_path=ckpt)
+    q.awaitTermination(180)
+
+    want = {r.doc_id: (r.lang_pred, r.quality_score,
+                       r.dup_2gram_frac, r.n_email)
+            for r in clean_corpus(docs).collect()}
+    assert got == want and got
+
+
 def test_bucketed_triples_join_has_no_exchange(spark, tmpdir_path):
     """Bucketed materialization makes the s-s self-join (path join)
     exchange-free — the co-located layout the scale design assumes."""
