@@ -1284,6 +1284,100 @@ def _o_domain_stats(_: str) -> str:
     """
 
 
+# shared CTEs: the synthesized URL corpus (same construction as
+# domain_stats) reduced to per-doc DISTINCT domains with the
+# link-farm cap — the base of the co-occurrence graph oracles
+_DOMAIN_SETS_CTES = [
+    """ddocs AS (
+        SELECT c_custkey AS doc_id,
+               'visit http://shop' || (c_custkey % 50)
+               || '.example.com/item/' || c_custkey
+               || ' and http://cdn' || (c_custkey % 7)
+               || '.example.org/a b' AS text
+        FROM customer)""",
+    """durls AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(
+                   text, 'https?://[A-Za-z0-9.\\-]+(?:/[A-Za-z0-9._/\\-]*)?'))
+                   AS url
+        FROM ddocs)""",
+    """dsets AS (
+        SELECT DISTINCT doc_id,
+               regexp_extract(url, 'https?://([A-Za-z0-9.\\-]+)', 1)
+                   AS domain
+        FROM durls)""",
+    """dok AS (
+        SELECT doc_id FROM dsets GROUP BY doc_id
+        HAVING COUNT(*) <= 32)""",
+    """dcoocc AS (
+        SELECT a.domain AS domain_a, b.domain AS domain_b,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM dsets a
+        JOIN dsets b ON a.doc_id = b.doc_id
+        JOIN dok ON a.doc_id = dok.doc_id
+        WHERE a.domain < b.domain
+        GROUP BY a.domain, b.domain)""",
+]
+
+
+def _q_domain_cograph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain co-link graph over the synthesized URL corpus: edges
+    (domain_a, domain_b, n_docs) weighted by co-linking documents,
+    with the link-farm cap on per-doc domain counts."""
+    from serd_spark.operators.text import domain_cooccurrence
+
+    cust = _t(spark, sf_dir, "customer")
+    docs = cust.select(
+        F.col("c_custkey").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("visit http://shop"), (F.col("c_custkey") % 50),
+            F.lit(".example.com/item/"), "c_custkey",
+            F.lit(" and http://cdn"), (F.col("c_custkey") % 7),
+            F.lit(".example.org/a b"),
+        ).alias("text"),
+    )
+    return domain_cooccurrence(docs, max_doc_domains=32)
+
+
+def _o_domain_cograph(_: str) -> str:
+    return f"""
+    WITH {','.join(_DOMAIN_SETS_CTES)}
+    SELECT domain_a, domain_b, n_docs FROM dcoocc
+    """
+
+
+def _q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain authority: weighted PageRank over the co-link graph —
+    the second consumer of graph.pagerank_weighted, exercising the
+    e-4 rank quantization on a bipartite-ish string-keyed graph."""
+    from serd_spark.operators.graph import pagerank_weighted
+    from serd_spark.operators.text import domain_cooccurrence
+
+    cust = _t(spark, sf_dir, "customer")
+    docs = cust.select(
+        F.col("c_custkey").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("visit http://shop"), (F.col("c_custkey") % 50),
+            F.lit(".example.com/item/"), "c_custkey",
+            F.lit(" and http://cdn"), (F.col("c_custkey") % 7),
+            F.lit(".example.org/a b"),
+        ).alias("text"),
+    )
+    edges = domain_cooccurrence(docs, max_doc_domains=32)
+    return pagerank_weighted(edges, n_iter=3, src="domain_a",
+                             dst="domain_b", weight="n_docs")
+
+
+def _o_domain_rank(_: str) -> str:
+    return _o_weighted_rank_sql([
+        *_DOMAIN_SETS_CTES,
+        """ed0 AS (
+        SELECT domain_a AS a, domain_b AS b,
+               CAST(n_docs AS DOUBLE) AS w
+        FROM dcoocc)""",
+    ])
+
+
 def _q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist filtering over the synthesized URL corpus: drop docs
     linking any blocked domain (every 7th cdn shard + one shop)."""
@@ -1603,15 +1697,13 @@ def _q_kg_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_weighted(comention_edges(linked), n_iter=3)
 
 
-def _o_kg_entity_rank(_: str) -> str:
-    n_iter, damping = 3, 0.85
+def _o_weighted_rank_sql(pre_ctes: list[str], n_iter: int = 3) -> str:
+    """Unrolled weighted-PageRank oracle over an ``ed0(a, b, w)``
+    edge CTE that ``pre_ctes`` must end with; mirrors
+    graph.pagerank_weighted incl. the e-4 rank quantization."""
+    damping = 0.85
     ctes = [
-        """ed0 AS (
-        SELECT 'urn:kg:nation:' || n_nationkey AS a,
-               'urn:kg:region:' || n_regionkey AS b,
-               CAST(COUNT(*) AS DOUBLE) AS w
-        FROM customer JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY n_nationkey, n_regionkey)""",
+        *pre_ctes,
         """edges AS (
         SELECT a AS u, b AS v, w FROM ed0
         UNION ALL SELECT b, a, w FROM ed0)""",
@@ -1637,6 +1729,15 @@ def _o_kg_entity_rank(_: str) -> str:
            FLOOR(ROUND(ROUND(r, 6) * 1000000, 0) / 100) / 10000.0 AS rank
     FROM r{n_iter}
     """
+
+
+def _o_kg_entity_rank(_: str) -> str:
+    return _o_weighted_rank_sql(["""ed0 AS (
+        SELECT 'urn:kg:nation:' || n_nationkey AS a,
+               'urn:kg:region:' || n_regionkey AS b,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_nationkey, n_regionkey)"""])
 
 
 def _q_cdc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2021,6 +2122,17 @@ def _o_semantic_decon(_: str) -> str:
                 / (sqrt(list_dot_product(tr.v, tr.v))
                    * sqrt(list_dot_product(ev.v, ev.v))), 6) >= 0.4
     """
+
+
+def _q_ffd_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split sequence packing (first-fit-decreasing per hash
+    shard) — rows-only like the BPE merge loop (a greedy packing loop
+    is not SQL-expressible); the FFD guarantees are property-gated in
+    tests/test_operators.py."""
+    from serd_spark.operators.packing import ffd_pack
+
+    return ffd_pack(_t(spark, sf_dir, "documents"), ctx_len=256,
+                    n_shards=8)
 
 
 def _q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2544,6 +2656,65 @@ def _o_kg_parse_nt(_: str) -> str:
     """
 
 
+def _q_kg_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read-side payoff of KG materialization: parse an NT corpus
+    of order→customer and customer→nation edges (real parser, chunked
+    skew-split path), then answer the 2-hop basic graph pattern
+    ``?order :cust ?c . ?c :nation ?n`` with one predicate-filtered
+    hash join — the order→nation rollup a SPARQL user would write.
+    The oracle knows the answer by construction (orders ⋈ customer)
+    WITHOUT parsing, so the row hash-gates parse + join end to end."""
+    from pyspark.sql import Window
+
+    from serd_spark.operators.kg import bgp_2hop
+    from serd_spark.operators.parse import (
+        parse_documents_chunked,
+        split_quarantine,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    t1 = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        .alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.concat(
+            F.lit("<urn:order:"), "o_orderkey",
+            F.lit("> <urn:schema:cust> <urn:cust:"), "o_custkey",
+            F.lit("> ."),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    t2 = cust.select(
+        F.concat(F.lit("n"), F.col("c_custkey").cast("string"))
+        .alias("conv_id"),
+        F.lit(1).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.concat(
+            F.lit("<urn:cust:"), "c_custkey",
+            F.lit("> <urn:schema:nation> <urn:nation:"), "c_nationkey",
+            F.lit("> ."),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    triples, _ = split_quarantine(parse_documents_chunked(
+        t1.unionByName(t2), chunk_turns=8))
+    return bgp_2hop(triples, "urn:schema:cust", "urn:schema:nation",
+                    out_cols=("order_iri", "nation_iri"))
+
+
+def _o_kg_2hop(_: str) -> str:
+    return """
+    SELECT DISTINCT 'urn:order:' || o_orderkey AS order_iri,
+           'urn:nation:' || c_nationkey AS nation_iri
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """
+
+
 def _q_kg_parse_turtle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Turtle KG pipeline on the synthetic transcript corpus:
     chunked skew-split parse → per-conv triple counts (single-pass
@@ -2613,6 +2784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "kg_entity_rank": _q_kg_entity_rank,
         "winnowing_matches": _q_winnowing_matches,
+        "kg_2hop": _q_kg_2hop,
+        "domain_cograph": _q_domain_cograph,
+        "domain_rank": _q_domain_rank,
+        "ffd_pack": _q_ffd_pack,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -2636,12 +2811,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "bigram_pmi": _q_bigram_pmi,
         "source_quality": _q_source_quality,
+        # ---- external gate window ends around here (first 50) --------
+        # -- (4) round-4 hash-green, untouched since -------------------
         "contamination": _q_contamination,
         "pack_chunks": _q_pack_chunks,
         "stratified_take": _q_stratified_take,
         "quality": _q_quality,
-        # ---- external gate window ends around here (first 50) --------
-        # -- (4) round-4 hash-green, untouched since -------------------
         "agg_pricing": _q_agg_pricing,
         "broadcast_expand": _q_broadcast_expand,
         "anti_join_undefined": _q_anti_join_undefined,
@@ -2716,6 +2891,9 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": _o_clean_corpus(sf),
         "domain_stats": _o_domain_stats(sf),
         "domain_filter": _o_domain_filter(sf),
+        "domain_cograph": _o_domain_cograph(sf),
+        "domain_rank": _o_domain_rank(sf),
+        "kg_2hop": _o_kg_2hop(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

@@ -49,6 +49,7 @@ HEADLINE = [
     "embedding_neardup", "semantic_decon", "ivf_cells", "sessionize", "funnel", "retention", "props_stats", "rolling_revenue", "quality_buckets", "role_transitions", "corpus_diff", "profile_columns", "error_rates", "value_outliers", "asof_attrib", "kg_parse_nt",
     "kg_entity_link", "kg_comention", "kg_substring_mentions",
     "kg_relations", "kg_entity_rank",
+    "kg_2hop", "domain_cograph", "domain_rank", "ffd_pack",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended

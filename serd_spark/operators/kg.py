@@ -357,6 +357,32 @@ def extract_relations(
     )
 
 
+def bgp_2hop(
+    triples: DataFrame, p1: str, p2: str,
+    out_cols: tuple = ("a", "c"),
+) -> DataFrame:
+    """Two-hop basic-graph-pattern query over a materialized triple
+    table: ``?a p1 ?b . ?b p2 ?c`` → distinct (a, c) — the smallest
+    real SPARQL-style path query, and the read-side payoff of
+    materializing the KG as (s, p, o) rows (downstream consumers ask
+    exactly this shape: order→customer→nation, doc→entity→class).
+
+    Scale shape: the predicate filters cut each side to ONE
+    predicate's edges before anything moves (predicate selectivity is
+    the classic triple-store win — pushed to the parquet scan as a
+    ``p = …`` PushedFilter), then one shuffle hash join keyed by the
+    shared node ``?b``.  Over a triple table bucketed by subject
+    (``materialize.write_bucketed_triples``) the join side reading
+    ``s`` is exchange-free; nothing here is a cartesian and neither
+    side is assumed broadcastable."""
+    oa, oc = out_cols
+    e1 = triples.where(F.col("p") == p1).select(
+        F.col("s").alias(oa), F.col("o").alias("_b"))
+    e2 = triples.where(F.col("p") == p2).select(
+        F.col("s").alias("_b"), F.col("o").alias(oc))
+    return e1.join(e2, "_b").select(oa, oc).distinct()
+
+
 def kg_entity_link_pipeline(
     turns: DataFrame, entities: DataFrame, text_col: str = "text",
     max_gram: int = 2, key_cols: tuple = ("conv_id", "turn_idx"),

@@ -67,6 +67,71 @@ def global_cumsum(
     )
 
 
+def ffd_pack(
+    docs: DataFrame, ctx_len: int = 2048, text_col: str = "text",
+    n_shards: int = 64,
+) -> DataFrame:
+    """First-fit-decreasing bin packing WITHOUT document splitting:
+    whole documents are grouped into ``ctx_len``-token sequences,
+    minimizing padding waste — the packing scheme for instruction/
+    SFT-style data where a training example must not straddle
+    context windows (the complement of :func:`concat_chunk_plan`,
+    which splits).  Documents longer than ``ctx_len`` get a solo
+    overflow bin, flagged for truncation downstream.
+
+    Output: (doc_id, n_tok, shard, bin_idx, overflow) — every input
+    doc exactly once; the pack is (shard, bin_idx).
+
+    Scale shape: FFD is inherently sequential, so the corpus is
+    salted into ``n_shards`` deterministic shards by doc_id hash
+    (NOT by physical partition — results must not depend on input
+    partitioning) and FFD runs independently per shard in an
+    Arrow-batched ``applyInPandas`` over (len desc, doc_id) order.
+    Per-shard FFD is how production packers actually run — the
+    classic FFD guarantee (≤ 11/9·OPT + 1 bins) holds within each
+    shard, and shards are embarrassingly parallel.  The greedy loop
+    is not SQL-expressible, so this operator is property-gated
+    (exactly-once, capacity, FFD bound, repartition-invariance) in
+    pytest rather than oracle-paired."""
+    import pandas as pd
+
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long").alias("n_tok"),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("long") % n_shards).cast("int"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True])
+        bins: list = []          # remaining capacity per bin
+        out_bin, out_over = [], []
+        for n in pdf["n_tok"]:
+            if n >= ctx_len:
+                out_bin.append(len(bins))
+                out_over.append(n > ctx_len)
+                bins.append(0)   # solo bin, full (or overflowing)
+                continue
+            for i, cap in enumerate(bins):
+                if cap >= n:
+                    bins[i] = cap - n
+                    out_bin.append(i)
+                    break
+            else:
+                out_bin.append(len(bins))
+                bins.append(ctx_len - n)
+            out_over.append(False)
+        pdf = pdf.assign(bin_idx=out_bin, overflow=out_over)
+        return pdf[["doc_id", "n_tok", "shard", "bin_idx", "overflow"]]
+
+    return toks.groupBy("shard").applyInPandas(
+        pack, schema="doc_id long, n_tok long, shard int,"
+                     " bin_idx long, overflow boolean")
+
+
 def concat_chunk_plan(
     docs: DataFrame, ctx_len: int = 2048, text_col: str = "text",
     order_col: str = "doc_id",

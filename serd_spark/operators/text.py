@@ -718,6 +718,41 @@ def domain_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def domain_cooccurrence(
+    docs: DataFrame, text_col: str = "text",
+    max_doc_domains: int = 32, min_docs: int = 1,
+) -> DataFrame:
+    """Domain co-link graph: (domain_a, domain_b, n_docs) for every
+    unordered pair of domains linked by the same document, weighted
+    by the number of documents co-linking them — the web-graph signal
+    behind domain-authority scoring (feed the edges to
+    ``graph.pagerank_weighted``) and link-farm detection (cliques of
+    mutually co-linked junk domains).
+
+    Scale shape: one scan → URL explode → per-doc DISTINCT domain
+    set; the pair join is keyed by doc_id, so fan-out is bounded by
+    (domains per doc)², never corpus-scale.  Documents linking more
+    than ``max_doc_domains`` distinct domains are dropped BEFORE the
+    join (link directories and spam hubs — the quadratic hazard, same
+    cap discipline as the LSH/winnowing hot buckets); the final
+    aggregation is one shuffle keyed by the pair with map-side
+    combine.  Exactly SQL-mirrorable (cap and count included)."""
+    d = extract_urls(docs, text_col).select("doc_id", "domain") \
+        .distinct()
+    ok = d.groupBy("doc_id").agg(F.count("*").alias("_nd")) \
+        .where(F.col("_nd") <= max_doc_domains).select("doc_id")
+    dd = d.join(ok, "doc_id", "leftsemi")
+    return (
+        dd.select("doc_id", F.col("domain").alias("domain_a"))
+        .join(dd.select("doc_id", F.col("domain").alias("domain_b")),
+              "doc_id")
+        .where(F.col("domain_a") < F.col("domain_b"))
+        .groupBy("domain_a", "domain_b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 # PII patterns: deliberately RE2-compatible (no lookaround/backrefs)
 # so the same pattern runs in Spark (Java regex) and the SQL oracle.
 PII_PATTERNS = (

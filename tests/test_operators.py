@@ -1305,6 +1305,93 @@ def test_winnowing_matches_pairs_shared_runs(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ffd_pack_properties(spark):
+    """No-split packing invariants: every doc packed exactly once;
+    no bin over capacity; docs > ctx_len get solo overflow bins; the
+    per-shard bin count respects the FFD guarantee (<= 11/9*OPT + 1
+    with OPT >= ceil(total/ctx)); and the result is identical across
+    input repartitionings (shard comes from the doc_id hash, not the
+    physical partition)."""
+    import math
+    import random
+
+    from serd_spark.operators.packing import ffd_pack
+
+    rng = random.Random(7)
+    rows = [(i, " ".join("w" for _ in range(rng.randint(5, 400))))
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ctx = 256
+    out = ffd_pack(docs, ctx_len=ctx, n_shards=4).collect()
+
+    assert sorted(r.doc_id for r in out) == list(range(200))
+    lens = {i: len(t.split()) for i, t in rows}
+    fill: dict[tuple, int] = {}
+    for r in out:
+        assert r.n_tok == lens[r.doc_id]
+        assert r.overflow == (r.n_tok > ctx)
+        fill[(r.shard, r.bin_idx)] = fill.get((r.shard, r.bin_idx), 0) \
+            + r.n_tok
+    for (sh, b), tot in fill.items():
+        solo = [r for r in out if (r.shard, r.bin_idx) == (sh, b)]
+        if not any(r.overflow for r in solo):
+            assert tot <= ctx, (sh, b, tot)
+        else:
+            assert len(solo) == 1  # overflow docs pack alone
+
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for sh, rs in by_shard.items():
+        n_bins = len({r.bin_idx for r in rs})
+        opt_lb = max(math.ceil(sum(r.n_tok for r in rs) / ctx),
+                     sum(1 for r in rs if r.n_tok >= ctx))
+        assert n_bins <= math.ceil(11 / 9 * opt_lb) + 1, (sh, n_bins)
+
+    again = ffd_pack(docs.repartition(13), ctx_len=ctx, n_shards=4) \
+        .collect()
+    key = lambda rs: sorted((r.doc_id, r.shard, r.bin_idx, r.overflow)
+                            for r in rs)
+    assert key(again) == key(out)
+
+
+def test_bgp_2hop_path_join(spark):
+    """?a p1 ?b . ?b p2 ?c over a tiny triple table: only chains
+    through the shared node qualify, duplicates collapse, and
+    dangling edges (no second hop) drop out."""
+    from serd_spark.operators.kg import bgp_2hop
+
+    triples = spark.createDataFrame(
+        [("o1", "cust", "c1"), ("o2", "cust", "c1"),
+         ("o3", "cust", "c2"), ("o4", "other", "c1"),
+         ("c1", "nation", "n1"), ("c3", "nation", "n2"),
+         ("o1", "cust", "c1")],
+        "s string, p string, o string")
+    got = {(r.a, r.c)
+           for r in bgp_2hop(triples, "cust", "nation").collect()}
+    assert got == {("o1", "n1"), ("o2", "n1")}
+
+
+def test_domain_cooccurrence_caps_link_farms(spark):
+    """Co-link edges count co-linking docs once per doc; a doc
+    linking more domains than the cap contributes no pairs at all."""
+    from serd_spark.operators.text import domain_cooccurrence
+
+    farm = " ".join(f"http://spam{i}.example.com/x" for i in range(5))
+    docs = spark.createDataFrame(
+        [(1, "see http://a.com/1 and http://b.com/2"),
+         (2, "see http://a.com/3 also http://b.com/4 http://a.com/5"),
+         (3, "just http://a.com/solo"),
+         (4, farm)],
+        "doc_id long, text string")
+    got = {(r.domain_a, r.domain_b): r.n_docs
+           for r in domain_cooccurrence(docs, max_doc_domains=3)
+           .collect()}
+    # docs 1 and 2 co-link a.com+b.com (dup URL in doc 2 counts once);
+    # doc 3 has no pair; doc 4's 5 domains exceed the cap of 3
+    assert got == {("a.com", "b.com"): 2}
+
+
 def test_lm_bigram_score_orders_fluency(spark):
     """Text built from corpus-frequent transitions must outscore a
     doc of the same length whose transitions never repeat."""
