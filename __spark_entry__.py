@@ -2715,6 +2715,64 @@ def _o_kg_2hop(_: str) -> str:
     """
 
 
+def _q_kg_turtle_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gate the TURTLE grammar itself (not just NT lines): each
+    order becomes a Turtle doc exercising @prefix + CURIE expansion,
+    the `a` → rdf:type sugar, a `;` predicate list and a `,` object
+    list; the real chunked parser expands it to 4 typed triples per
+    order, and the oracle reconstructs those triples by construction
+    with pure string ops — the grammar's fan-out and the Env expansion
+    both sit under the exact-equality gate (the rows-only
+    kg_parse_turtle keeps covering the generator-driven corpus)."""
+    from serd_spark.operators.parse import (
+        parse_documents_chunked,
+        split_quarantine,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    tdf = orders.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+        .alias("conv_id"),
+        F.lit(1).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.concat(
+            F.lit("@prefix s: <urn:schema:> . <urn:order:"),
+            "o_orderkey",
+            F.lit("> a s:Order ; s:status \""), "o_orderstatus",
+            F.lit("\" , \"p"), (F.col("o_orderkey") % 5),
+            F.lit("\" ; s:cust <urn:cust:"), "o_custkey",
+            F.lit("> ."),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    triples, _ = split_quarantine(parse_documents_chunked(
+        tdf, chunk_turns=8))
+    return triples.select(
+        "s", "p", "o", F.col("o_type").cast("int").alias("o_type"))
+
+
+def _o_kg_turtle_expand(_: str) -> str:
+    return """
+    SELECT 'urn:order:' || o_orderkey AS s,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+           'urn:schema:Order' AS o, 2 AS o_type
+    FROM orders
+    UNION ALL
+    SELECT 'urn:order:' || o_orderkey, 'urn:schema:status',
+           o_orderstatus, 1
+    FROM orders
+    UNION ALL
+    SELECT 'urn:order:' || o_orderkey, 'urn:schema:status',
+           'p' || (o_orderkey % 5), 1
+    FROM orders
+    UNION ALL
+    SELECT 'urn:order:' || o_orderkey, 'urn:schema:cust',
+           'urn:cust:' || o_custkey, 2
+    FROM orders
+    """
+
+
 def _q_kg_parse_turtle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Turtle KG pipeline on the synthetic transcript corpus:
     chunked skew-split parse → per-conv triple counts (single-pass
@@ -2788,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cograph": _q_domain_cograph,
         "domain_rank": _q_domain_rank,
         "ffd_pack": _q_ffd_pack,
+        "kg_turtle_expand": _q_kg_turtle_expand,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -2810,9 +2869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "tfidf_topk": _q_tfidf_topk,
         "bigram_pmi": _q_bigram_pmi,
-        "source_quality": _q_source_quality,
         # ---- external gate window ends around here (first 50) --------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "source_quality": _q_source_quality,
         "contamination": _q_contamination,
         "pack_chunks": _q_pack_chunks,
         "stratified_take": _q_stratified_take,
@@ -2894,6 +2953,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cograph": _o_domain_cograph(sf),
         "domain_rank": _o_domain_rank(sf),
         "kg_2hop": _o_kg_2hop(sf),
+        "kg_turtle_expand": _o_kg_turtle_expand(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),
