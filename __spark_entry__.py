@@ -2124,6 +2124,35 @@ def _o_semantic_decon(_: str) -> str:
     """
 
 
+def _q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join under the exact gate: events (hot user keys)
+    join a per-user segment dim through salted_join's fan-out +
+    build-side replication, and the output must equal the PLAIN join
+    the oracle computes — salting must change the distribution, never
+    the result (no dropped rows, no per-salt duplicates)."""
+    from serd_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("seg", F.concat(F.lit("s"),
+                                    (F.col("user_id") % 10)))
+    )
+    return salted_join(ev, dim, on="user_id", n_salts=8).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "seg")
+
+
+def _o_skew_join(_: str) -> str:
+    return """
+    SELECT CAST(e.event_id AS BIGINT) AS event_id,
+           CAST(e.user_id AS BIGINT) AS user_id,
+           's' || (e.user_id % 10) AS seg
+    FROM events e
+    """
+
+
 def _q_ffd_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-split sequence packing (first-fit-decreasing per hash
     shard) — rows-only like the BPE merge loop (a greedy packing loop
@@ -2847,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rank": _q_domain_rank,
         "ffd_pack": _q_ffd_pack,
         "kg_turtle_expand": _q_kg_turtle_expand,
+        "skew_join": _q_skew_join,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -2867,10 +2897,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram": _q_dup_ngram,
         "embedding_neardup": _q_embedding_neardup,
         "cosine_topk": _q_cosine_topk,
-        "tfidf_topk": _q_tfidf_topk,
-        "bigram_pmi": _q_bigram_pmi,
         # ---- external gate window ends around here (first 50) --------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "tfidf_topk": _q_tfidf_topk,
+        "bigram_pmi": _q_bigram_pmi,
         "source_quality": _q_source_quality,
         "contamination": _q_contamination,
         "pack_chunks": _q_pack_chunks,
@@ -2954,6 +2984,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_rank": _o_domain_rank(sf),
         "kg_2hop": _o_kg_2hop(sf),
         "kg_turtle_expand": _o_kg_turtle_expand(sf),
+        "skew_join": _o_skew_join(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),
