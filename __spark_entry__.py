@@ -1001,7 +1001,9 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
-def _o_simhash(_: str) -> str:
+def _simhash_ctes() -> str:
+    """Shared CTE chain ending in sigs(doc_id, simhash) — the SQL
+    mirror of dedup.simhash, reused by the pairs oracle."""
     def bit(i: int) -> str:
         return (f"(h_lo >> {i}) & 1" if i < 32
                 else f"(h_hi >> {i - 32}) & 1")
@@ -1015,8 +1017,7 @@ def _o_simhash(_: str) -> str:
            else f"{1 << i}::BIGINT")
         + " ELSE 0 END)"
         for i in range(64))
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
         SELECT doc_id,
                unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
         FROM documents),
@@ -1027,10 +1028,56 @@ def _o_simhash(_: str) -> str:
         FROM toks),
     votes AS (
         SELECT doc_id, {bit_sums}
-        FROM h GROUP BY doc_id)
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST({bits} AS BIGINT) AS simhash
-    FROM votes
+        FROM h GROUP BY doc_id),
+    sigs AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST({bits} AS BIGINT) AS simhash
+        FROM votes)"""
+
+
+def _o_simhash(_: str) -> str:
+    return f"""
+    WITH {_simhash_ctes()}
+    SELECT doc_id, simhash FROM sigs
+    """
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar banded SimHash near-dup pairs: 16-bit band bucketing
+    (pigeonhole-exact for hamming <= 3) + bit_count(xor) verify —
+    the bit-parallel complement of minhash_lsh."""
+    from serd_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"),
+                         max_hamming=3, max_bucket=64)
+
+
+def _o_simhash_pairs(_: str) -> str:
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {i} AS band_idx,"
+        f" (simhash >> {16 * i}) & 65535 AS band_val FROM sigs"
+        for i in range(4))
+    return f"""
+    WITH {_simhash_ctes()},
+    bands AS ({band_rows}),
+    ok AS (
+        SELECT band_idx, band_val FROM bands
+        GROUP BY band_idx, band_val HAVING COUNT(*) <= 64),
+    rare AS (
+        SELECT b.* FROM bands b
+        JOIN ok ON b.band_idx = ok.band_idx
+               AND b.band_val = ok.band_val),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM rare a
+        JOIN rare b ON a.band_idx = b.band_idx
+                   AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
     """
 
 
@@ -2124,6 +2171,33 @@ def _o_semantic_decon(_: str) -> str:
     """
 
 
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embeddings table — FLOOR of
+    a bit-identical element-wise double pipeline, so the int arrays
+    hash-match the DuckDB mirror exactly (no decimal half-boundary
+    anywhere; the ivf_cells bit-identity proof extended to
+    quantization)."""
+    from serd_spark.operators.similarity import embedding_quantize
+
+    return embedding_quantize(_t(spark, sf_dir, "embeddings"))
+
+
+def _o_embedding_quantize(_: str) -> str:
+    mx = "list_max(list_transform(v, x -> abs(x)))"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           ROUND({mx}, 6) AS scale,
+           CASE WHEN {mx} > 0
+                THEN list_transform(
+                    v, x -> CAST(FLOOR(x * 127.0 / {mx}) AS INT))
+                ELSE list_transform(v, x -> 0)
+           END AS qvec
+    FROM e
+    """
+
+
 def _q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join under the exact gate: events (hot user keys)
     join a per-user segment dim through salted_join's fan-out +
@@ -2877,6 +2951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffd_pack": _q_ffd_pack,
         "kg_turtle_expand": _q_kg_turtle_expand,
         "skew_join": _q_skew_join,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_quantize": _q_embedding_quantize,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -2895,10 +2971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "cdc_spans": _q_cdc_spans,
         "dup_ngram": _q_dup_ngram,
-        "embedding_neardup": _q_embedding_neardup,
-        "cosine_topk": _q_cosine_topk,
         # ---- external gate window ends around here (first 50) --------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "embedding_neardup": _q_embedding_neardup,
+        "cosine_topk": _q_cosine_topk,
         "tfidf_topk": _q_tfidf_topk,
         "bigram_pmi": _q_bigram_pmi,
         "source_quality": _q_source_quality,
@@ -2985,6 +3061,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_2hop": _o_kg_2hop(sf),
         "kg_turtle_expand": _o_kg_turtle_expand(sf),
         "skew_join": _o_skew_join(sf),
+        "simhash_pairs": _o_simhash_pairs(sf),
+        "embedding_quantize": _o_embedding_quantize(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

@@ -50,7 +50,8 @@ HEADLINE = [
     "kg_entity_link", "kg_comention", "kg_substring_mentions",
     "kg_relations", "kg_entity_rank",
     "kg_2hop", "domain_cograph", "domain_rank", "ffd_pack",
-    "kg_turtle_expand", "skew_join",
+    "kg_turtle_expand", "skew_join", "simhash_pairs",
+    "embedding_quantize",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended

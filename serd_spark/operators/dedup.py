@@ -548,6 +548,65 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """SimHash near-duplicate pairs (Charikar / the Google-crawl
+    scheme): candidate pairs share at least one of four 16-bit bands
+    of the 64-bit signature — by pigeonhole this finds EVERY pair
+    within Hamming distance 3 (4 bands, ≤3 differing bits can touch
+    at most 3 bands) — then the exact Hamming distance
+    ``bit_count(xor)`` verifies.  Output: (doc_a, doc_b, hamming)
+    with hamming ≤ ``max_hamming``.
+
+    The bit-parallel complement of :func:`minhash_lsh_pairs` (set
+    overlap) and ``winnowing_matches`` (shared runs): SimHash
+    distance tracks weighted token-vector cosine, one BIGINT per doc.
+
+    Scale shape: signatures are one map-side-combined agg (the
+    simhash votes); banding is a 4× explode of doc-count rows (tiny —
+    one BIGINT each); the band join is a shuffle hash join keyed by
+    (band_idx, band_val) with the standard hot-bucket cap (the
+    all-identical band of templated/empty docs would fan out M²);
+    verification is pure JVM bit arithmetic, no second corpus scan.
+    Band values use arithmetic-shift + mask, verified bit-identical
+    between Spark and the SQL oracle (incl. the sign-bit band)."""
+    sigs = simhash(docs, text_col)
+    bands = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright("simhash", 16 * i)
+                .bitwiseAND(F.lit(65535)).alias("band_val"))
+            for i in range(4)])).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    ok = bands.groupBy("band_idx", "band_val") \
+        .agg(F.count("*").alias("_n")) \
+        .where(F.col("_n") <= max_bucket) \
+        .select("band_idx", "band_val")
+    rare = bands.join(ok, ["band_idx", "band_val"], "leftsemi")
+    cand = (
+        rare.select("band_idx", "band_val",
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("simhash").alias("_sa"))
+        .join(rare.select("band_idx", "band_val",
+                          F.col("doc_id").alias("doc_b"),
+                          F.col("simhash").alias("_sb")),
+              ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sa", "_sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.select("doc_a", "doc_b",
+                    hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def cluster_representatives(
     docs: DataFrame, pairs: DataFrame, text_col: str = "text",
     max_iter: int = 25,

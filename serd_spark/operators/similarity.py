@@ -503,3 +503,37 @@ def ivf_ann_topk(
         .withColumn("rank", F.row_number().over(wr).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def embedding_quantize(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector scale =
+    max|x|, component q_i = floor(x_i · 127 / scale) — the 4×
+    compression that makes 100 TB-scale ANN indexes (int8 IVF/HNSW)
+    affordable, with reconstruction x̂_i = q_i · scale / 127 within
+    one quantum (property-tested).
+
+    Output: (vec_id, scale, qvec array<int>); zero/null vectors emit
+    scale 0.0 / NULL with an all-zero / NULL qvec (no divide).
+
+    Scale/exactness shape: one scan, pure element-wise JVM expressions
+    (``transform``/``array_max``) — no shuffle, no Python.  FLOOR (not
+    a decimal rounding) keeps the oracle exact: both engines compute
+    the identical IEEE double ``x·127/scale`` (element-wise float
+    pipelines are bit-identical, the ``ivf_cells`` proof), and floor
+    of the same double is the same integer — no half-boundary to
+    disagree on.  ``scale`` is emitted at the standard round(…,6)
+    display grain; q uses the UNROUNDED scale."""
+    v = F.col(vec_col).cast("array<double>")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(
+        mx > 0,
+        F.transform(v, lambda x: F.floor(x * F.lit(127.0) / mx)
+                    .cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.round(mx, 6).alias("scale"),
+        q.alias("qvec"),
+    )

@@ -1305,6 +1305,56 @@ def test_winnowing_matches_pairs_shared_runs(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_pairs_finds_near_dups(spark):
+    """Banded SimHash: a doc differing by one rare token from another
+    lands within hamming 3 and pairs up; unrelated docs don't; every
+    emitted hamming equals the true popcount of the sig xor."""
+    from serd_spark.operators.dedup import simhash, simhash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventy distinct tokens pad the vector so one swapped "
+            "word only nudges a few majority votes in the signature "
+            "and the rest of the bits stay put across both documents")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("nudges", "shifts")),
+         (3, "completely different content about spark physical "
+             "plans exchanges and adaptive query execution stages")],
+        "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_pairs(docs, max_hamming=8).collect()}
+    for (a, b), hd in got.items():
+        assert hd == bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_embedding_quantize_reconstruction(spark):
+    """int8 quantization invariants: |x - q*scale/127| < scale/127
+    for every component, q in [-127, 127], the max-|x| component maps
+    to ±127 exactly, and zero/null vectors don't divide."""
+    docs = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]),
+         (2, [3.0, 2.9999, -3.0, 1.5]),
+         (3, [0.0, 0.0, 0.0, 0.0]),
+         (4, None)],
+        "vec_id long, embedding array<double>")
+    from serd_spark.operators.similarity import embedding_quantize
+
+    out = {r.vec_id: r for r in embedding_quantize(docs).collect()}
+    vecs = {1: [0.5, -1.0, 0.25, 0.0], 2: [3.0, 2.9999, -3.0, 1.5]}
+    for vid, v in vecs.items():
+        r = out[vid]
+        mx = max(abs(x) for x in v)
+        assert abs(r.scale - round(mx, 6)) < 1e-9
+        for x, q in zip(v, r.qvec):
+            assert -127 <= q <= 127
+            assert abs(x - q * mx / 127) <= mx / 127 + 1e-12
+    assert out[1].qvec[1] == -127 and out[2].qvec[0] == 127
+    assert out[3].scale == 0.0 and out[3].qvec == [0, 0, 0, 0]
+    assert out[4].scale is None and out[4].qvec is None
+
+
 def test_ffd_pack_properties(spark):
     """No-split packing invariants: every doc packed exactly once;
     no bin over capacity; docs > ctx_len get solo overflow bins; the
