@@ -943,6 +943,44 @@ def _o_pagerank(_: str) -> str:
     """
 
 
+def _q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the LSH pair
+    graph — integer-exact iterative analytics (no float grain at
+    all), the soft-community complement of dedup_clusters' CC."""
+    from serd_spark.operators.dedup import minhash_lsh_pairs
+    from serd_spark.operators.graph import label_propagation
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_bands=4, shingle_k=3,
+        max_bucket=64)
+    return label_propagation(pairs, n_rounds=3)
+
+
+def _o_lpa_communities(_: str) -> str:
+    n_rounds = 3
+    ctes = ["l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges)"]
+    for k in range(1, n_rounds + 1):
+        ctes.append(f"""nl{k} AS (
+        SELECT e.u, l.lbl FROM edges e
+        JOIN l{k - 1} l ON e.v = l.node)""")
+        ctes.append(f"""c{k} AS (
+        SELECT u, lbl, COUNT(*) AS c FROM nl{k} GROUP BY u, lbl)""")
+        ctes.append(f"""l{k} AS (
+        SELECT u AS node, lbl FROM (
+            SELECT u, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY u
+                                      ORDER BY c DESC, lbl ASC) AS rn
+            FROM c{k})
+        WHERE rn = 1)""")
+    return f"""
+    WITH {_LSH_PAIRS_CTE},
+    {','.join(ctes)}
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(lbl AS BIGINT) AS label
+    FROM l{n_rounds}
+    """
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard
 
@@ -2953,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": _q_skew_join,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_quantize": _q_embedding_quantize,
+        "lpa_communities": _q_lpa_communities,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -2970,9 +3009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "cdc_spans": _q_cdc_spans,
-        "dup_ngram": _q_dup_ngram,
         # ---- external gate window ends around here (first 50) --------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "dup_ngram": _q_dup_ngram,
         "embedding_neardup": _q_embedding_neardup,
         "cosine_topk": _q_cosine_topk,
         "tfidf_topk": _q_tfidf_topk,
@@ -3063,6 +3102,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": _o_skew_join(sf),
         "simhash_pairs": _o_simhash_pairs(sf),
         "embedding_quantize": _o_embedding_quantize(sf),
+        "lpa_communities": _o_lpa_communities(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

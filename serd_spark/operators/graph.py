@@ -142,6 +142,51 @@ def kcore_peel(
             .select(F.col("u").alias("doc_id"), "degree"))
 
 
+def label_propagation(
+    pairs: DataFrame, n_rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    undirected pair graph: labels start as node ids; each round every
+    node adopts its neighbors' most frequent label, ties broken to
+    the SMALLEST label — the deterministic LPA variant, so the result
+    is a pure function of the graph (no RNG, no visit order) and
+    exactly SQL-mirrorable as ``n_rounds`` unrolled CTEs.  After a
+    few rounds labels coalesce inside dense near-dup communities
+    while bridges keep their own labels — the soft-clustering
+    complement of the hard connected components in ``dup_clusters``
+    (CC merges everything reachable; LPA resists merging through a
+    single weak bridge).
+
+    Output: (doc_id, label) — all integer, nothing to round.
+
+    Scale shape per round: one join of edges against the node-sized
+    label table (keyed by node), one map-side-combined (node, label)
+    count, and the literal-bound ``rank <= 1`` WindowGroupLimit for
+    the per-node argmax (partial limit below the exchange — the
+    stratified_take idiom); labels localCheckpoint per round (the
+    iterative lineage discipline).  Fixed rounds, like
+    ``pagerank``/``kcore``."""
+    edges = _sym_edges(pairs).localCheckpoint()
+    labels = edges.select("u").distinct() \
+        .select(F.col("u").alias("node"), F.col("u").alias("lbl"))
+    from pyspark.sql import Window
+
+    for _ in range(n_rounds):
+        nl = edges.join(
+            labels.select(F.col("node").alias("v"), "lbl"), "v")
+        counts = nl.groupBy("u", "lbl").agg(F.count("*").alias("_c"))
+        w = Window.partitionBy("u").orderBy(
+            F.col("_c").desc(), F.col("lbl").asc())
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= F.lit(1))
+            .select(F.col("u").alias("node"), "lbl")
+            .localCheckpoint()
+        )
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("lbl").alias("label"))
+
+
 def pagerank(
     pairs: DataFrame, n_iter: int = 5, damping: float = 0.85,
 ) -> DataFrame:

@@ -1305,6 +1305,48 @@ def test_winnowing_matches_pairs_shared_runs(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_label_propagation_matches_sync_rule(spark):
+    """Deterministic sync LPA equals a straight Python mirror of the
+    rule (neighbor-majority, ties to smallest label) on a barbell
+    graph for 1..3 rounds — and after 3 rounds the two triangles
+    keep distinct communities where CC would merge them through the
+    bridge."""
+    from serd_spark.operators.dedup import dup_clusters
+    from serd_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    adj: dict[int, list] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+
+    def mirror(rounds):
+        lbl = {v: v for v in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for v in adj:
+                counts: dict[int, int] = {}
+                for nb in adj[v]:
+                    counts[lbl[nb]] = counts.get(lbl[nb], 0) + 1
+                nxt[v] = min(counts,
+                             key=lambda l: (-counts[l], l))
+            lbl = nxt
+        return lbl
+
+    for rounds in (1, 2, 3):
+        got = {r.doc_id: r.label
+               for r in label_propagation(df, n_rounds=rounds)
+               .collect()}
+        assert got == mirror(rounds), rounds
+
+    final = {r.doc_id: r.label
+             for r in label_propagation(df, n_rounds=3).collect()}
+    assert len({final[1], final[4]}) == 2  # two communities survive
+    cc = {r.doc_id: r.cluster_id for r in dup_clusters(df).collect()}
+    assert len(set(cc.values())) == 1     # CC merges via the bridge
+
+
 def test_simhash_pairs_finds_near_dups(spark):
     """Banded SimHash: a doc differing by one rare token from another
     lands within hamming 3 and pairs up; unrelated docs don't; every
