@@ -2865,6 +2865,15 @@ def _q_kg_turtle_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     with pure string ops — the grammar's fan-out and the Env expansion
     both sit under the exact-equality gate (the rows-only
     kg_parse_turtle keeps covering the generator-driven corpus)."""
+    triples = _turtle_orders_triples(spark, sf_dir)
+    return triples.select(
+        "s", "p", "o", F.col("o_type").cast("int").alias("o_type"))
+
+
+def _turtle_orders_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the synthesized orders-Turtle corpus (one doc per order:
+    @prefix, `a` sugar, `;`/`,` lists) through the real chunked
+    parser — shared by kg_turtle_expand and kg_star."""
     from serd_spark.operators.parse import (
         parse_documents_chunked,
         split_quarantine,
@@ -2889,8 +2898,36 @@ def _q_kg_turtle_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     triples, _ = split_quarantine(parse_documents_chunked(
         tdf, chunk_turns=8))
-    return triples.select(
-        "s", "p", "o", F.col("o_type").cast("int").alias("o_type"))
+    return triples
+
+
+def _q_kg_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star BGP over the parsed Turtle corpus: every order's
+    (status, cust) property profile via a subject-keyed 2-arm join —
+    the `,` object list fans each order into 2 rows (combinational
+    BGP semantics), which the oracle reproduces by construction."""
+    from serd_spark.operators.kg import bgp_star
+
+    triples = _turtle_orders_triples(spark, sf_dir)
+    return bgp_star(triples,
+                    ["urn:schema:status", "urn:schema:cust"],
+                    ["status", "cust_iri"])
+
+
+def _o_kg_star(_: str) -> str:
+    # the two s:status objects (o_orderstatus and the 'pN' literal)
+    # each pair with the single s:cust object — 2 rows per order
+    return """
+    SELECT 'urn:order:' || o_orderkey AS s,
+           o_orderstatus AS status,
+           'urn:cust:' || o_custkey AS cust_iri
+    FROM orders
+    UNION ALL
+    SELECT 'urn:order:' || o_orderkey,
+           'p' || (o_orderkey % 5),
+           'urn:cust:' || o_custkey
+    FROM orders
+    """
 
 
 def _o_kg_turtle_expand(_: str) -> str:
@@ -2992,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_quantize": _q_embedding_quantize,
         "lpa_communities": _q_lpa_communities,
+        "kg_star": _q_kg_star,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -3008,9 +3046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_reps": _q_cluster_reps,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
-        "cdc_spans": _q_cdc_spans,
         # ---- external gate window ends around here (first 50) --------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "cdc_spans": _q_cdc_spans,
         "dup_ngram": _q_dup_ngram,
         "embedding_neardup": _q_embedding_neardup,
         "cosine_topk": _q_cosine_topk,
@@ -3103,6 +3141,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _o_simhash_pairs(sf),
         "embedding_quantize": _o_embedding_quantize(sf),
         "lpa_communities": _o_lpa_communities(sf),
+        "kg_star": _o_kg_star(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

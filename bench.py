@@ -51,7 +51,7 @@ HEADLINE = [
     "kg_relations", "kg_entity_rank",
     "kg_2hop", "domain_cograph", "domain_rank", "ffd_pack",
     "kg_turtle_expand", "skew_join", "simhash_pairs",
-    "embedding_quantize", "lpa_communities",
+    "embedding_quantize", "lpa_communities", "kg_star",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended

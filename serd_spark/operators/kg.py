@@ -383,6 +383,33 @@ def bgp_2hop(
     return e1.join(e2, "_b").select(oa, oc).distinct()
 
 
+def bgp_star(
+    triples: DataFrame, preds: list, out_cols: list | None = None,
+) -> DataFrame:
+    """Star-shaped basic graph pattern: ``?s p1 ?o1 . ?s p2 ?o2 …``
+    — the entity-profile query (all requested properties of each
+    subject), the other workhorse SPARQL shape next to the path join
+    of :func:`bgp_2hop`.  A subject with multiple values for one
+    predicate fans out combinationally (standard BGP semantics).
+
+    Output: (s, out_cols…), distinct.
+
+    Scale shape: each arm is ONE predicate's edges (filter pushed to
+    the scan over a materialized table), and every join keys on the
+    SAME column ``s`` — so over a subject-bucketed triple table
+    (``materialize.write_bucketed_triples``) the whole star is
+    exchange-free, and on any layout the n-way join reuses one hash
+    partitioning of ``s`` across all arms instead of re-shuffling per
+    join."""
+    out_cols = out_cols or [f"o{i}" for i in range(1, len(preds) + 1)]
+    df = None
+    for p, oc in zip(preds, out_cols):
+        arm = triples.where(F.col("p") == p).select(
+            "s", F.col("o").alias(oc))
+        df = arm if df is None else df.join(arm, "s")
+    return df.distinct()
+
+
 def kg_entity_link_pipeline(
     turns: DataFrame, entities: DataFrame, text_col: str = "text",
     max_gram: int = 2, key_cols: tuple = ("conv_id", "turn_idx"),

@@ -1464,6 +1464,24 @@ def test_bgp_2hop_path_join(spark):
     assert got == {("o1", "n1"), ("o2", "n1")}
 
 
+def test_bgp_star_profile_fanout(spark):
+    """Star BGP joins all arms on the subject: a subject missing one
+    predicate drops out, and multi-valued predicates fan out
+    combinationally."""
+    from serd_spark.operators.kg import bgp_star
+
+    triples = spark.createDataFrame(
+        [("o1", "status", "F"), ("o1", "status", "p1"),
+         ("o1", "cust", "c1"),
+         ("o2", "status", "O"),           # no cust -> dropped
+         ("o3", "cust", "c3")],           # no status -> dropped
+        "s string, p string, o string")
+    got = {(r.s, r.status, r.cust)
+           for r in bgp_star(triples, ["status", "cust"],
+                             ["status", "cust"]).collect()}
+    assert got == {("o1", "F", "c1"), ("o1", "p1", "c1")}
+
+
 def test_domain_cooccurrence_caps_link_farms(spark):
     """Co-link edges count co-linking docs once per doc; a doc
     linking more domains than the cap contributes no pairs at all."""
