@@ -981,6 +981,61 @@ def _o_lpa_communities(_: str) -> str:
     """
 
 
+def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join (PPJoin-style prefix filtering) —
+    completeness-guaranteed token-Jaccard pairs, the deterministic
+    complement of the probabilistic minhash_lsh candidates.  Runs on
+    the doc_id %% 13 == 0 slice: the synthetic corpus is template-
+    heavy (~3M genuine pairs at tau 0.8 over full sf0.1 — the exact
+    join's cost is output-bound), so the contract row gates the
+    algorithm on a deterministic subset both engines select."""
+    from serd_spark.operators.dedup import prefix_filter_pairs
+
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 13 == 0)
+    return prefix_filter_pairs(docs, tau=0.8)
+
+
+def _o_prefix_jaccard(_: str) -> str:
+    return """
+    WITH ptoks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)),
+                                             '\\s+')) AS tok
+            FROM documents WHERE doc_id % 13 = 0)
+        WHERE tok <> ''),
+    pdf AS (SELECT tok, COUNT(*) AS df FROM ptoks GROUP BY tok),
+    psz AS (SELECT doc_id, COUNT(*) AS n FROM ptoks GROUP BY doc_id),
+    ranked AS (
+        SELECT t.doc_id, t.tok,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df ASC, t.tok ASC) AS rn
+        FROM ptoks t JOIN pdf d ON t.tok = d.tok),
+    pref AS (
+        SELECT r.doc_id, r.tok
+        FROM ranked r JOIN psz s ON r.doc_id = s.doc_id
+        WHERE r.rn <= s.n - CAST(CEIL(0.8 * s.n) AS BIGINT) + 1),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN pref b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    shared AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS ns
+        FROM cand c
+        JOIN ptoks ta ON ta.doc_id = c.doc_a
+        JOIN ptoks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        GROUP BY c.doc_a, c.doc_b)
+    SELECT CAST(s.doc_a AS BIGINT) AS doc_a,
+           CAST(s.doc_b AS BIGINT) AS doc_b,
+           ROUND(s.ns / (sa.n + sb.n - s.ns), 6) AS jaccard
+    FROM shared s
+    JOIN psz sa ON s.doc_a = sa.doc_id
+    JOIN psz sb ON s.doc_b = sb.doc_id
+    WHERE ROUND(s.ns / (sa.n + sb.n - s.ns), 6) >= 0.8
+    """
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard
 
@@ -2380,7 +2435,7 @@ def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.where(F.col("doc_id") % 13 != 0)
     new = kept.select(
         "doc_id",
-        F.when(F.col("doc_id") % 7 == 0,
+        F.when(F.col("doc_id") % 13 == 0,
                F.concat(F.col("text"), F.lit(" EDITED")))
         .otherwise(F.col("text")).alias("text"),
     ).unionByName(
@@ -3030,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _q_embedding_quantize,
         "lpa_communities": _q_lpa_communities,
         "kg_star": _q_kg_star,
+        "prefix_jaccard": _q_prefix_jaccard,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -3045,9 +3101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "cluster_reps": _q_cluster_reps,
         "ngram_jaccard": _q_ngram_jaccard,
-        "simhash": _q_simhash,
         # ---- external gate window ends around here (first 50) --------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "simhash": _q_simhash,
         "cdc_spans": _q_cdc_spans,
         "dup_ngram": _q_dup_ngram,
         "embedding_neardup": _q_embedding_neardup,
@@ -3142,6 +3198,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": _o_embedding_quantize(sf),
         "lpa_communities": _o_lpa_communities(sf),
         "kg_star": _o_kg_star(sf),
+        "prefix_jaccard": _o_prefix_jaccard(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

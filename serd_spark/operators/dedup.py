@@ -548,6 +548,79 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def prefix_filter_pairs(
+    docs: DataFrame, text_col: str = "text", tau: float = 0.6,
+) -> DataFrame:
+    """EXACT token-set similarity join via prefix filtering (the
+    PPJoin/AllPairs family): every pair with token-Jaccard ≥ ``tau``
+    is found — a completeness guarantee MinHash LSH only approaches
+    probabilistically — at far below all-pairs cost.
+
+    The filter: order each doc's distinct tokens by ascending global
+    document frequency (rarest first, ties by token); a pair with
+    J ≥ tau MUST share a token among each side's first
+    ``n − ⌈tau·n⌉ + 1`` tokens (if the prefixes were disjoint, too
+    few tokens remain to reach tau) — so candidates come from a join
+    on PREFIX tokens only, then exact Jaccard verifies.
+
+    Output: (doc_a, doc_b, jaccard) with jaccard ≥ tau, 6-dp.
+
+    Scale shape: df table and doc sizes are map-side-combined aggs;
+    the prefix rank is a per-DOC window; the candidate join keys on
+    prefix tokens, which are the RAREST tokens by construction — the
+    anti-hot-key join (fan-out per token ≈ its df, and high-df tokens
+    are excluded from prefixes of all but the largest docs); the
+    verify stage joins full token sets only for candidate pairs.
+    Every step mirrors exactly in SQL (same ceil of the same IEEE
+    double ``tau·n``)."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .alias("tok"),
+    ).where(F.col("tok") != "").distinct()
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_df").asc(), F.col("tok").asc())
+    pref = (
+        toks.join(dfreq, "tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(F.col("_rn")
+               <= F.col("_n") - F.ceil(F.lit(tau) * F.col("_n")) + 1)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "tok"),
+              "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    shared = (
+        cand
+        .join(toks.select(F.col("doc_id").alias("doc_a"), "tok"),
+              "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), "tok"),
+              ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_ns"))
+    )
+    jac = F.round(
+        F.col("_ns")
+        / (F.col("_na") + F.col("_nb") - F.col("_ns")), 6)
+    return (
+        shared
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("_n").alias("_na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("_n").alias("_nb")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= tau)
+    )
+
+
 def simhash_pairs(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 3,
     max_bucket: int = 64,

@@ -1347,6 +1347,41 @@ def test_label_propagation_matches_sync_rule(spark):
     assert len(set(cc.values())) == 1     # CC merges via the bridge
 
 
+def test_prefix_filter_completeness_vs_brute_force(spark):
+    """The PPJoin guarantee: prefix filtering finds EVERY pair with
+    token-Jaccard >= tau — compare against brute-force all-pairs on a
+    randomized fixture (both the pair set and the jaccard values),
+    at two thresholds."""
+    import itertools
+    import random
+
+    from serd_spark.operators.dedup import prefix_filter_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        base = rng.sample(vocab, rng.randint(4, 12))
+        rows.append((i, " ".join(base)))
+        if rng.random() < 0.4:  # planted near-dup with small edits
+            mut = list(base)
+            if len(mut) > 4 and rng.random() < 0.5:
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((100 + i, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sets = {i: set(t.split()) for i, t in rows}
+    for tau in (0.6, 0.8):
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if round(j, 6) >= tau:
+                want[(a, b)] = round(j, 6)
+        got = {(r.doc_a, r.doc_b): r.jaccard
+               for r in prefix_filter_pairs(docs, tau=tau).collect()}
+        assert got == want and got, tau
+
+
 def test_simhash_pairs_finds_near_dups(spark):
     """Banded SimHash: a doc differing by one rare token from another
     lands within hamming 3 and pairs up; unrelated docs don't; every
