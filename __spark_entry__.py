@@ -2435,7 +2435,7 @@ def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.where(F.col("doc_id") % 13 != 0)
     new = kept.select(
         "doc_id",
-        F.when(F.col("doc_id") % 13 == 0,
+        F.when(F.col("doc_id") % 7 == 0,
                F.concat(F.col("text"), F.lit(" EDITED")))
         .otherwise(F.col("text")).alias("text"),
     ).unionByName(
@@ -3101,9 +3101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "cluster_reps": _q_cluster_reps,
         "ngram_jaccard": _q_ngram_jaccard,
-        # ---- external gate window ends around here (first 50) --------
-        # -- (4) round-4 hash-green, untouched since -------------------
         "simhash": _q_simhash,
+        # ---- external gate window ends here (position 50) ------------
+        # -- (4) round-4 hash-green, untouched since -------------------
         "cdc_spans": _q_cdc_spans,
         "dup_ngram": _q_dup_ngram,
         "embedding_neardup": _q_embedding_neardup,
