@@ -981,6 +981,59 @@ def _o_lpa_communities(_: str) -> str:
     """
 
 
+def _q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf-weighted cosine verify over the LSH candidate pairs —
+    the weighted complement of ngram_jaccard (rare shared terms
+    dominate; boilerplate idf≈0 terms stop inflating similarity)."""
+    from serd_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        tfidf_cosine_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n_bands=4, shingle_k=3,
+                              max_bucket=64)
+    return tfidf_cosine_pairs(docs, pairs)
+
+
+def _o_tfidf_cosine(_: str) -> str:
+    return f"""
+    WITH {_LSH_PAIRS_CTE},
+    ttoks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)),
+                                             '\\s+')) AS tok
+            FROM documents)
+        WHERE tok <> ''),
+    ttf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM ttoks GROUP BY doc_id, tok),
+    tdf AS (SELECT tok, COUNT(*) AS df FROM ttf GROUP BY tok),
+    tn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n
+           FROM documents),
+    tw AS (
+        SELECT t.doc_id, t.tok,
+               t.tf * ln((SELECT n FROM tn) / d.df) AS w
+        FROM ttf t JOIN tdf d ON t.tok = d.tok),
+    tnorm AS (
+        SELECT doc_id, sqrt(SUM(w * w)) AS nrm
+        FROM tw GROUP BY doc_id),
+    tdot AS (
+        SELECT p.doc_a, p.doc_b, SUM(a.w * b.w) AS dot
+        FROM pairs p
+        JOIN tw a ON a.doc_id = p.doc_a
+        JOIN tw b ON b.doc_id = p.doc_b AND b.tok = a.tok
+        GROUP BY p.doc_a, p.doc_b)
+    SELECT d.doc_a, d.doc_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM tdot d
+    JOIN tnorm na ON d.doc_a = na.doc_id
+    JOIN tnorm nb ON d.doc_b = nb.doc_id
+    WHERE na.nrm > 0 AND nb.nrm > 0
+    """
+
+
 def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity join (PPJoin-style prefix filtering) —
     completeness-guaranteed token-Jaccard pairs, the deterministic
@@ -3086,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": _q_lpa_communities,
         "kg_star": _q_kg_star,
         "prefix_jaccard": _q_prefix_jaccard,
+        "tfidf_cosine": _q_tfidf_cosine,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -3100,10 +3154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": _q_minhash_incremental,
         "dedup_clusters": _q_dedup_clusters,
         "cluster_reps": _q_cluster_reps,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash": _q_simhash,
         # ---- external gate window ends here (position 50) ------------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
         "cdc_spans": _q_cdc_spans,
         "dup_ngram": _q_dup_ngram,
         "embedding_neardup": _q_embedding_neardup,
@@ -3199,6 +3253,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _o_lpa_communities(sf),
         "kg_star": _o_kg_star(sf),
         "prefix_jaccard": _o_prefix_jaccard(sf),
+        "tfidf_cosine": _o_tfidf_cosine(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

@@ -52,7 +52,7 @@ HEADLINE = [
     "kg_2hop", "domain_cograph", "domain_rank", "ffd_pack",
     "kg_turtle_expand", "skew_join", "simhash_pairs",
     "embedding_quantize", "lpa_communities", "kg_star",
-    "prefix_jaccard",
+    "prefix_jaccard", "tfidf_cosine",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended

@@ -225,6 +225,66 @@ def ngram_jaccard(
     ).where(F.col("n_inter") > 0)  # match the intersect-join form
 
 
+def tfidf_cosine_pairs(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text",
+    broadcast_pairs: bool = True,
+) -> DataFrame:
+    """tf-idf-weighted cosine similarity for candidate pairs — the
+    WEIGHTED verify stage next to :func:`ngram_jaccard`'s set
+    overlap: rare shared terms dominate, boilerplate terms (high df,
+    near-zero idf) stop inflating similarity.  w(d,t) = tf·ln(N/df).
+
+    Output: (doc_a, doc_b, cosine) for pairs sharing ≥1 term, 6-dp.
+
+    Scale shape: term weights and per-doc norms are map-side-combined
+    aggregations off ONE tokenization; N rides a one-row broadcast;
+    the dot product joins each side's term vector ONLY for candidate
+    pairs (pair table broadcast by default, same dial as
+    ngram_jaccard), grouped map-side by pair.  Float note: the dot
+    and norm sums are single non-iterative reductions — the same
+    round(…,6) grain as every other one-shot float aggregate in the
+    repo (lm_score, ngram stats), not the iterative-rank case."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("double").alias("_tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("_df"))
+    n_docs = docs.select(
+        F.countDistinct("doc_id").cast("double").alias("_n"))
+    w = (
+        tf.join(dfreq, "tok").crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "tok",
+                (F.col("_tf") * F.log(F.col("_n") / F.col("_df")))
+                .alias("_w"))
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nrm"))
+    p = F.broadcast(pairs) if broadcast_pairs else pairs
+    dots = (
+        p.join(w.select(F.col("doc_id").alias("doc_a"),
+                        "tok", F.col("_w").alias("_wa")), "doc_a")
+        .join(w.select(F.col("doc_id").alias("doc_b"),
+                       "tok", F.col("_w").alias("_wb")),
+              ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    cos = F.round(
+        F.col("_dot") / (F.col("_na") * F.col("_nb")), 6)
+    return (
+        dots
+        .join(norms.select(F.col("doc_id").alias("doc_a"),
+                           F.col("_nrm").alias("_na")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"),
+                           F.col("_nrm").alias("_nb")), "doc_b")
+        .where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+    )
+
+
 def eval_shingle_set(
     eval_docs: DataFrame, text_col: str = "text", shingle_k: int = 3,
 ) -> DataFrame:

@@ -449,3 +449,41 @@ def start_streaming_quality_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_sessionize(
+    stream: DataFrame, gap_sec: int = 1800, watermark: str = "1 hour",
+    key_col: str = "user_id", ts_col: str = "ts",
+):
+    """Streaming sessionization via Spark's native ``session_window``:
+    per-key sessions close when no event arrives within ``gap_sec``,
+    with watermark-bounded state — the streaming form of
+    ``operators.sessions.sessionize`` (whose gaps-and-islands batch
+    formulation is test-equivalent to ``session_window``).
+
+    Output: (key, start_ep, end_ep, n_events) as epoch seconds —
+    ``end_ep`` is the session's last EVENT time (``window.end`` minus
+    the gap, matching the batch operator's ``end_ep``), so
+    stream-over-replay equals batch exactly for every session the
+    watermark has closed (append mode only emits closed sessions;
+    the equality test flushes trailing sessions with sentinel
+    events past the watermark horizon).
+
+    Scale/state shape: state is one open session per active key
+    (bounded by the watermark), merged map-side by the session-window
+    aggregation; no custom stateful UDF needed."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.session_window(F.col(ts_col), f"{gap_sec} seconds")
+            .alias("w"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "key",
+            F.round(F.col("w.start").cast("double"), 6)
+            .alias("start_ep"),
+            F.round(F.col("w.end").cast("double") - gap_sec, 6)
+            .alias("end_ep"),
+            "n_events")
+    )

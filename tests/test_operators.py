@@ -593,6 +593,57 @@ def test_streaming_quality_gate_equals_batch(spark, tmpdir_path):
     assert got == want and got
 
 
+def test_streaming_sessionize_equals_batch(spark, tmpdir_path):
+    """Streaming session_window over a replayed multi-file stream
+    emits exactly the batch sessionize sessions once the watermark
+    closes them.  Real events replay first; per-key sentinel events
+    far past the watermark horizon flush the trailing sessions
+    (append mode only emits closed sessions); sentinel sessions are
+    filtered out of the comparison."""
+    import time as _time
+    from datetime import timedelta
+
+    from serd_spark.operators.sessions import sessionize
+    from serd_spark.streaming.ingest import streaming_sessionize
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    want = {(r.key, r.start_ep, r.end_ep, r.n_events)
+            for r in sessionize(ev, gap_sec=1800).collect()}
+
+    inp = os.path.join(tmpdir_path, "ssin")
+    ev.repartition(5).write.parquet(inp)
+    _time.sleep(1.1)  # sentinels must sort AFTER the real files
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    sent_ts = mx + timedelta(days=365 * 5)
+    ev.select("user_id").distinct() \
+        .withColumn("ts", F.lit(sent_ts).cast("timestamp")) \
+        .coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 2).parquet(inp)
+    )
+    # watermark 4y: never drops replayed real events (span << 4y),
+    # but the +5y sentinels push it past every real session's close
+    q = (
+        streaming_sessionize(stream, gap_sec=1800,
+                             watermark="35040 hours")
+        .writeStream.format("memory").queryName("ss_out")
+        .outputMode("append")
+        .option("checkpointLocation",
+                os.path.join(tmpdir_path, "ssckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    horizon = sent_ts.timestamp() - 1
+    got = {(r.key, r.start_ep, r.end_ep, r.n_events)
+           for r in spark.table("ss_out")
+           .where(F.col("start_ep") < horizon).collect()}
+    assert got == want and got
+
+
 def test_bucketed_triples_join_has_no_exchange(spark, tmpdir_path):
     """Bucketed materialization makes the s-s self-join (path join)
     exchange-free — the co-located layout the scale design assumes."""
@@ -1345,6 +1396,50 @@ def test_label_propagation_matches_sync_rule(spark):
     assert len({final[1], final[4]}) == 2  # two communities survive
     cc = {r.doc_id: r.cluster_id for r in dup_clusters(df).collect()}
     assert len(set(cc.values())) == 1     # CC merges via the bridge
+
+
+def test_tfidf_cosine_discounts_boilerplate(spark):
+    """Weighted verify semantics: a pair sharing only a term present
+    in EVERY doc (idf = 0) scores ~0; a pair sharing a rare term
+    scores high; values match a numpy tf-idf computation."""
+    import math
+
+    from serd_spark.operators.dedup import tfidf_cosine_pairs
+
+    rows = [(1, "common rareterm alpha"),
+            (2, "common rareterm beta"),
+            (3, "common gamma delta"),
+            (4, "common epsilon zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long")
+    got = {(r.doc_a, r.doc_b): r.cosine
+           for r in tfidf_cosine_pairs(docs, pairs).collect()}
+
+    n = 4
+    dfc: dict[str, int] = {}
+    for _, t in rows:
+        for tok in set(t.split()):
+            dfc[tok] = dfc.get(tok, 0) + 1
+    vecs = {}
+    for i, t in rows:
+        w = {}
+        for tok in t.split():
+            w[tok] = w.get(tok, 0) + 1
+        vecs[i] = {tok: c * math.log(n / dfc[tok])
+                   for tok, c in w.items()}
+
+    def cos(a, b):
+        dot = sum(vecs[a][t] * vecs[b][t]
+                  for t in set(vecs[a]) & set(vecs[b]))
+        na = math.sqrt(sum(x * x for x in vecs[a].values()))
+        nb = math.sqrt(sum(x * x for x in vecs[b].values()))
+        return round(dot / (na * nb), 6)
+
+    assert abs(got[(1, 2)] - cos(1, 2)) < 1e-9
+    assert abs(got[(3, 4)] - cos(3, 4)) < 1e-9
+    assert got[(1, 2)] > 0.1          # rare shared term contributes
+    assert got[(3, 4)] == 0.0         # only the idf-0 term shared
 
 
 def test_prefix_filter_completeness_vs_brute_force(spark):
