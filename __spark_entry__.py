@@ -3154,9 +3154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": _q_minhash_incremental,
         "dedup_clusters": _q_dedup_clusters,
         "cluster_reps": _q_cluster_reps,
+        "ngram_jaccard": _q_ngram_jaccard,
         # ---- external gate window ends here (position 50) ------------
         # -- (4) round-4 hash-green, untouched since -------------------
-        "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "cdc_spans": _q_cdc_spans,
         "dup_ngram": _q_dup_ngram,
