@@ -287,6 +287,89 @@ def _o_join_revenue(_: str) -> str:
     """
 
 
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-table join with per-side date/segment
+    filters, discounted revenue in exact integer cent-percent units
+    (price_c × (100 − disc_pct) — no float accumulation), top-10 via
+    TakeOrderedAndProject with a deterministic tie-break."""
+    cutoff = "1998-06-30"
+    cust = _t(spark, sf_dir, "customer") \
+        .where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders") \
+        .where(F.col("o_orderdate").cast("timestamp")
+               < F.lit(cutoff).cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem") \
+        .where(F.col("l_shipdate").cast("timestamp")
+               > F.lit(cutoff).cast("timestamp"))
+    rev = (F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+           * (F.lit(100)
+              - F.round(F.col("l_discount") * 100, 0).cast("long")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd")
+            .alias("order_date"))
+        .agg(F.sum(rev).cast("long").alias("revenue_u"))
+        .orderBy(F.col("revenue_u").desc(), F.col("order_date").asc(),
+                 F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _o_shipping_priority(_: str) -> str:
+    return """
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT)))
+                AS BIGINT) AS revenue_u
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-30'
+      AND l_shipdate > TIMESTAMP '1998-06-30'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_u DESC, order_date ASC, l_orderkey ASC
+    LIMIT 10
+    """
+
+
+def _q_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS semi join with a correlated date
+    predicate): orders with at least one line item shipped more than
+    90 days after the order date, counted per priority class — the
+    left-semi join the optimizer turns EXISTS into."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        F.col("l_shipdate").cast("timestamp")
+        > F.col("o_orderdate").cast("timestamp")
+        + F.expr("INTERVAL 90 DAYS"))
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & late,
+            "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+def _o_late_shipping(_: str) -> str:
+    return """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """
+
+
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct/set ops (suite-diff analogue): customers with no
     orders via exceptAll on distinct keys."""
@@ -3140,6 +3223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_star": _q_kg_star,
         "prefix_jaccard": _q_prefix_jaccard,
         "tfidf_cosine": _q_tfidf_cosine,
+        "shipping_priority": _q_shipping_priority,
+        "late_shipping": _q_late_shipping,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -3153,10 +3238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "minhash_incremental": _q_minhash_incremental,
         "dedup_clusters": _q_dedup_clusters,
-        "cluster_reps": _q_cluster_reps,
-        "ngram_jaccard": _q_ngram_jaccard,
         # ---- external gate window ends here (position 50) ------------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "cluster_reps": _q_cluster_reps,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "cdc_spans": _q_cdc_spans,
         "dup_ngram": _q_dup_ngram,
@@ -3254,6 +3339,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_star": _o_kg_star(sf),
         "prefix_jaccard": _o_prefix_jaccard(sf),
         "tfidf_cosine": _o_tfidf_cosine(sf),
+        "shipping_priority": _o_shipping_priority(sf),
+        "late_shipping": _o_late_shipping(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

@@ -52,7 +52,8 @@ HEADLINE = [
     "kg_2hop", "domain_cograph", "domain_rank", "ffd_pack",
     "kg_turtle_expand", "skew_join", "simhash_pairs",
     "embedding_quantize", "lpa_communities", "kg_star",
-    "prefix_jaccard", "tfidf_cosine",
+    "prefix_jaccard", "tfidf_cosine", "shipping_priority",
+    "late_shipping",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended

@@ -681,6 +681,40 @@ def test_bucketed_triples_join_has_no_exchange(spark, tmpdir_path):
         spark.sql("DROP TABLE IF EXISTS t_bucketed")
 
 
+def test_bgp_star_bucketed_has_no_exchange(spark, tmpdir_path):
+    """The bgp_star scale claim, verified in the plan: over a
+    subject-bucketed triple table, the n-way star join runs with NO
+    Exchange on any arm (each arm filters one predicate off the same
+    bucketed scan and joins on the bucket column s)."""
+    from serd_spark.operators.kg import bgp_star
+    from serd_spark.operators.materialize import write_bucketed_triples
+    from serd_spark.operators.parse import (
+        parse_ntriples_lines,
+        split_quarantine,
+    )
+
+    tdf = spark.createDataFrame(
+        [("c1", i, "user",
+          f"<http://a/s{i % 9}> <http://a/{'p' if i % 2 else 'q'}> "
+          f"<http://a/o{i}> .", None, None) for i in range(60)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    triples, _ = split_quarantine(parse_ntriples_lines(tdf))
+    write_bucketed_triples(triples, "t_star_bucketed", n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table("t_star_bucketed")
+        j = bgp_star(t, ["http://a/p", "http://a/q"], ["op", "oq"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_star_bucketed")
+
+
 def test_dup_clusters_star_matches_label_prop(spark):
     """large-star/small-star CC == min-label propagation on chains,
     triangles, and a long adversarial path (the O(log n) variant)."""
