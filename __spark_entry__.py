@@ -370,6 +370,66 @@ def _o_late_shipping(_: str) -> str:
     """
 
 
+def _q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: customer counts and account balance
+    cents at (region, nation), (region), and grand-total grains in
+    ONE pass — the OLAP cube surface (Spark plans one Expand + one
+    aggregation, not three scans)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+         .join(region, nation.n_regionkey == region.r_regionkey))
+    bal_c = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("*").cast("long").alias("n_cust"),
+             F.sum(bal_c).cast("long").alias("bal_c"))
+    )
+
+
+def _o_region_rollup(_: str) -> str:
+    return """
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(ROUND(c_acctbal*100,0) AS BIGINT)) AS BIGINT)
+               AS bal_c
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """
+
+
+def _q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-priority order counts spread across order-status
+    columns — Spark's groupBy().pivot() with an explicit value list
+    (one aggregation; the explicit list avoids the extra distinct
+    scan AND pins the output schema for the oracle, which mirrors
+    with portable conditional aggregation)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).cast("long").alias("n_f"),
+            F.coalesce("O", F.lit(0)).cast("long").alias("n_o"),
+            F.coalesce("P", F.lit(0)).cast("long").alias("n_p"))
+    )
+
+
+def _o_status_pivot(_: str) -> str:
+    return """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """
+
+
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct/set ops (suite-diff analogue): customers with no
     orders via exceptAll on distinct keys."""
@@ -3225,6 +3285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": _q_tfidf_cosine,
         "shipping_priority": _q_shipping_priority,
         "late_shipping": _q_late_shipping,
+        "region_rollup": _q_region_rollup,
+        "status_pivot": _q_status_pivot,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -3237,9 +3299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "minhash_lsh": _q_minhash_lsh,
         "minhash_incremental": _q_minhash_incremental,
-        "dedup_clusters": _q_dedup_clusters,
         # ---- external gate window ends here (position 50) ------------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "dedup_clusters": _q_dedup_clusters,
         "cluster_reps": _q_cluster_reps,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -3341,6 +3403,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_cosine": _o_tfidf_cosine(sf),
         "shipping_priority": _o_shipping_priority(sf),
         "late_shipping": _o_late_shipping(sf),
+        "region_rollup": _o_region_rollup(sf),
+        "status_pivot": _o_status_pivot(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

@@ -53,7 +53,7 @@ HEADLINE = [
     "kg_turtle_expand", "skew_join", "simhash_pairs",
     "embedding_quantize", "lpa_communities", "kg_star",
     "prefix_jaccard", "tfidf_cosine", "shipping_priority",
-    "late_shipping",
+    "late_shipping", "region_rollup", "status_pivot",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended
