@@ -644,6 +644,53 @@ def test_streaming_sessionize_equals_batch(spark, tmpdir_path):
     assert got == want and got
 
 
+def test_windowed_turn_counts_stream_equals_batch(spark, tmpdir_path):
+    """Tumbling-window turn counts over a replayed multi-file stream
+    equal the batch run of the same operator (it is written to work
+    on both): sentinel turns past the watermark horizon flush the
+    trailing windows, and sentinel windows are filtered out of the
+    comparison."""
+    import time as _time
+    from datetime import timedelta
+
+    from serd_spark.streaming.ingest import windowed_turn_counts
+    from serd_spark.transcripts import transcripts_df
+
+    tdf = transcripts_df(spark, 48).select("conv_id", "ts") \
+        .where(F.col("ts").isNotNull())
+    want = {(r.conv_id, r.window_start, r.n_turns)
+            for r in windowed_turn_counts(
+                tdf, watermark="35040 hours").collect()}
+
+    inp = os.path.join(tmpdir_path, "wtin")
+    tdf.repartition(4).write.parquet(inp)
+    _time.sleep(1.1)
+    mx = tdf.agg(F.max("ts")).collect()[0][0]
+    sent_ts = mx + timedelta(days=365 * 5)
+    tdf.select("conv_id").distinct() \
+        .withColumn("ts", F.lit(sent_ts).cast("timestamp")) \
+        .coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema("conv_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 2).parquet(inp)
+    )
+    q = (
+        windowed_turn_counts(stream, watermark="35040 hours")
+        .writeStream.format("memory").queryName("wt_out")
+        .outputMode("append")
+        .option("checkpointLocation",
+                os.path.join(tmpdir_path, "wtckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {(r.conv_id, r.window_start, r.n_turns)
+           for r in spark.table("wt_out")
+           .where(F.col("window_start")
+                  < F.lit(sent_ts - timedelta(days=1))).collect()}
+    assert got == want and got
+
+
 def test_bucketed_triples_join_has_no_exchange(spark, tmpdir_path):
     """Bucketed materialization makes the s-s self-join (path join)
     exchange-free — the co-located layout the scale design assumes."""
