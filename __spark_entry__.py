@@ -3095,7 +3095,12 @@ def _q_kg_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     triples, _ = split_quarantine(parse_documents_chunked(
         t1.unionByName(t2), chunk_turns=8))
-    return bgp_2hop(triples, "urn:schema:cust", "urn:schema:nation",
+    # bgp_* operators assume a MATERIALIZED triple table (each arm
+    # re-reads it); feeding the live parse plan directly would make
+    # Spark re-run the whole parse once per arm — localCheckpoint is
+    # the query-local stand-in for the materialized table.
+    return bgp_2hop(triples.localCheckpoint(),
+                    "urn:schema:cust", "urn:schema:nation",
                     out_cols=("order_iri", "nation_iri"))
 
 
@@ -3159,7 +3164,8 @@ def _q_kg_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     BGP semantics), which the oracle reproduces by construction."""
     from serd_spark.operators.kg import bgp_star
 
-    triples = _turtle_orders_triples(spark, sf_dir)
+    # localCheckpoint = the materialized-table stand-in (see kg_2hop)
+    triples = _turtle_orders_triples(spark, sf_dir).localCheckpoint()
     return bgp_star(triples,
                     ["urn:schema:status", "urn:schema:cust"],
                     ["status", "cust_iri"])
