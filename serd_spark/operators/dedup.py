@@ -704,8 +704,16 @@ def simhash_pairs(
     all-identical band of templated/empty docs would fan out M²);
     verification is pure JVM bit arithmetic, no second corpus scan.
     Band values use arithmetic-shift + mask, verified bit-identical
-    between Spark and the SQL oracle (incl. the sign-bit band)."""
-    sigs = simhash(docs, text_col)
+    between Spark and the SQL oracle (incl. the sign-bit band).
+
+    The signature table is localCheckpointed: it is doc-COUNT-sized
+    (one BIGINT per doc — tiny), it feeds three consumers (band
+    explode and both sides of the band join), and the 64-vote
+    aggregation behind it is the expensive stage — materializing once
+    measured ~30% off the whole operator at sf0.1, unlike the
+    corpus-sized winnowing fingerprint table where the same trick
+    measured net-negative (shuffle reuse already covers it)."""
+    sigs = simhash(docs, text_col).localCheckpoint()
     bands = sigs.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
