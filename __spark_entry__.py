@@ -3249,7 +3249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     long-stable basics that were hash-green in round 4 and are
     untouched since.  New queries must be inserted in group (2), not
     mid-list — pushing a verified entry past position 50 silently
-    drops it from the external gate (the round-4 lesson)."""
+    drops it from the external gate (the round-4 lesson).  Each round,
+    rotate: entries that sat below the window last round move to the
+    front (they are now the least-recently-driver-verified), so every
+    oracle gets a fresh external row at least every other round."""
     return {
         # -- (1) no driver row in round 4 ------------------------------
         "semantic_decon": _q_semantic_decon,
