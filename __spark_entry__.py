@@ -2516,6 +2516,41 @@ def _o_skew_join(_: str) -> str:
     """
 
 
+def _q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (RAG/long-context prep):
+    pure JVM sequence+posexplode+slice, never crossing doc
+    boundaries; integer-only window arithmetic, exact SQL mirror."""
+    from serd_spark.operators.packing import sliding_chunks
+
+    return sliding_chunks(_t(spark, sf_dir, "documents"),
+                          chunk_tokens=64, overlap=16)
+
+
+def _o_sliding_chunks(_: str) -> str:
+    # windows advance by step=48; n_win = 1 + ceil(max(0,n-64)/48)
+    return """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+    sized AS (
+        SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+    wins AS (
+        SELECT doc_id, w, n,
+               unnest(range(0, 1 + CAST(FLOOR(
+                   (GREATEST(n - 64, 0) + 47) / 48) AS BIGINT)))
+                   AS widx
+        FROM sized)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(widx AS BIGINT) AS chunk_idx,
+           CAST(widx * 48 AS BIGINT) AS tok_start,
+           CAST(LEAST(64, n - widx * 48) AS BIGINT) AS n_tok,
+           array_to_string(
+               w[widx * 48 + 1 : widx * 48 + LEAST(64, n - widx * 48)],
+               ' ') AS chunk_text
+    FROM wins
+    """
+
+
 def _q_ffd_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-split sequence packing (first-fit-decreasing per hash
     shard) — rows-only like the BPE merge loop (a greedy packing loop
@@ -3296,6 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipping": _q_late_shipping,
         "region_rollup": _q_region_rollup,
         "status_pivot": _q_status_pivot,
+        "sliding_chunks": _q_sliding_chunks,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -3307,9 +3343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "dedup_keep_best": _q_dedup_keep_best,
         "minhash_lsh": _q_minhash_lsh,
-        "minhash_incremental": _q_minhash_incremental,
         # ---- external gate window ends here (position 50) ------------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "minhash_incremental": _q_minhash_incremental,
         "dedup_clusters": _q_dedup_clusters,
         "cluster_reps": _q_cluster_reps,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -3414,6 +3450,7 @@ def oracle_sql() -> dict[str, str]:
         "late_shipping": _o_late_shipping(sf),
         "region_rollup": _o_region_rollup(sf),
         "status_pivot": _o_status_pivot(sf),
+        "sliding_chunks": _o_sliding_chunks(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

@@ -132,6 +132,54 @@ def ffd_pack(
                      " bin_idx long, overflow boolean")
 
 
+def sliding_chunks(
+    docs: DataFrame, chunk_tokens: int = 256, overlap: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking with overlap — the RAG /
+    long-context preprocessing op: each document becomes windows of
+    ``chunk_tokens`` tokens advancing by ``chunk_tokens − overlap``,
+    the last window keeping its full tail.  Unlike
+    :func:`concat_chunk_plan` (which packs ACROSS documents), chunks
+    never cross document boundaries.
+
+    Output: (doc_id, chunk_idx, tok_start, n_tok, chunk_text) — one
+    row per window; short docs yield exactly one window.
+
+    Scale shape: one scan; windows come from a JVM ``sequence`` +
+    ``posexplode`` over the per-doc window count and a ``slice`` of
+    the token array — no Python, no shuffle, no window function;
+    embarrassingly parallel per document.  Exact SQL mirror
+    (range + list slicing)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+    ).withColumn("_n", F.size("_t")).where(F.col("_n") > 0)
+    # number of windows: 1 + ceil(max(0, n - chunk) / step), as pure
+    # integer arithmetic (engine-portable; no float ceil)
+    extra = F.greatest(F.col("_n") - chunk_tokens, F.lit(0))
+    n_win = (F.lit(1)
+             + F.floor((extra + step - 1) / F.lit(step)).cast("int"))
+    win = toks.select(
+        "doc_id", "_t", "_n",
+        F.posexplode(F.sequence(F.lit(0), n_win - 1))
+        .alias("chunk_idx", "_w"),
+    )
+    start = F.col("_w") * step
+    n_tok = F.least(F.lit(chunk_tokens), F.col("_n") - start)
+    return win.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("tok_start"),
+        n_tok.cast("long").alias("n_tok"),
+        F.concat_ws(" ", F.slice("_t", start + 1, n_tok))
+        .alias("chunk_text"),
+    )
+
+
 def concat_chunk_plan(
     docs: DataFrame, ctx_len: int = 2048, text_col: str = "text",
     order_col: str = "doc_id",

@@ -1608,6 +1608,32 @@ def test_embedding_quantize_reconstruction(spark):
     assert out[4].scale is None and out[4].qvec is None
 
 
+def test_sliding_chunks_window_semantics(spark):
+    """Window arithmetic: starts advance by chunk-overlap; every
+    token is covered; consecutive windows overlap by exactly
+    `overlap` (except a shorter final tail); short docs yield one
+    window; chunk text matches the token slice."""
+    from serd_spark.operators.packing import sliding_chunks
+
+    toks = [f"t{i}" for i in range(25)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c")],
+        "doc_id long, text string")
+    out = sorted(
+        ((r.doc_id, r.chunk_idx, r.tok_start, r.n_tok, r.chunk_text)
+         for r in sliding_chunks(docs, chunk_tokens=10,
+                                 overlap=4).collect()))
+    # doc 1: 25 tokens, step 6 -> windows at 0,6,12,18 (1+ceil(15/6))
+    d1 = [o for o in out if o[0] == 1]
+    assert [(o[2], o[3]) for o in d1] == [(0, 10), (6, 10), (12, 10),
+                                          (18, 7)]
+    for _, _, s, n, text in d1:
+        assert text == " ".join(toks[s:s + n])
+    covered = sorted({i for _, _, s, n, _ in d1 for i in range(s, s + n)})
+    assert covered == list(range(25))
+    assert [o[1:] for o in out if o[0] == 2] == [(0, 0, 3, "a b c")]
+
+
 def test_ffd_pack_properties(spark):
     """No-split packing invariants: every doc packed exactly once;
     no bin over capacity; docs > ctx_len get solo overflow bins; the
