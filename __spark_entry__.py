@@ -2460,6 +2460,36 @@ def _o_semantic_decon(_: str) -> str:
     """
 
 
+def _q_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ±1 random projection, JVM exact path — the
+    md5-derived plane matrix is re-derivable in SQL and the
+    left-to-right JVM dot is bit-identical to list_dot_product, so
+    the projected values hash-match with zero drift."""
+    from serd_spark.operators.similarity import random_project
+
+    return random_project(_t(spark, sf_dir, "embeddings"), out_dim=8)
+
+
+def _o_random_project(_: str) -> str:
+    return """
+    WITH ks AS (SELECT unnest(range(0, 8)) AS k),
+    dims AS (SELECT unnest(range(0, 64)) AS i),
+    signs AS (
+        SELECT k, i,
+               CASE WHEN ('0x' || substr(md5('rp:' || k || ':' || i),
+                                         1, 1))::INT % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM ks, dims),
+    planes AS (SELECT k, list(s ORDER BY i) AS sv
+               FROM signs GROUP BY k),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+           CAST(p.k AS BIGINT) AS k,
+           ROUND(list_dot_product(e.v, p.sv), 6) AS proj
+    FROM e CROSS JOIN planes p
+    """
+
+
 def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embeddings table — FLOOR of
     a bit-identical element-wise double pipeline, so the int arrays
@@ -3332,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_rollup": _q_region_rollup,
         "status_pivot": _q_status_pivot,
         "sliding_chunks": _q_sliding_chunks,
+        "random_project": _q_random_project,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -3342,9 +3373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nt_roundtrip": _q_nt_roundtrip,
         "exact_dedup": _q_exact_dedup,
         "dedup_keep_best": _q_dedup_keep_best,
-        "minhash_lsh": _q_minhash_lsh,
         # ---- external gate window ends here (position 50) ------------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "minhash_lsh": _q_minhash_lsh,
         "minhash_incremental": _q_minhash_incremental,
         "dedup_clusters": _q_dedup_clusters,
         "cluster_reps": _q_cluster_reps,
@@ -3451,6 +3482,7 @@ def oracle_sql() -> dict[str, str]:
         "region_rollup": _o_region_rollup(sf),
         "status_pivot": _o_status_pivot(sf),
         "sliding_chunks": _o_sliding_chunks(sf),
+        "random_project": _o_random_project(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

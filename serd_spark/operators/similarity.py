@@ -537,3 +537,68 @@ def embedding_quantize(
         F.round(mx, 6).alias("scale"),
         q.alias("qvec"),
     )
+
+
+def random_project(
+    emb: DataFrame, out_dim: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    vectorized: bool = False,
+) -> DataFrame:
+    """Deterministic ±1 random projection (Achlioptas-style) — the
+    dimensionality-reduction step that makes downstream ANN/clustering
+    affordable at high input dims: proj_k = Σ_i v_i · sign(k, i) with
+    sign(k, i) = ±1 from the parity of md5's first nibble over
+    ``rp:{k}:{i}`` — a pure function of coordinates (no RNG state, so
+    every executor/retry/engine agrees; same discipline as the SRP
+    hyperplanes, but md5 so the SQL oracle can re-derive the matrix).
+
+    Output: (vec_id, k, proj) rows, proj at 6 dp.
+
+    Two paths, same trade as :func:`ivf_assign`: the default builds
+    the plane vectors as a BROADCAST ``out_dim``-row table of arrays
+    (never a literal expression tree — the SRP lesson: literal
+    matrices blow up Catalyst at real dims) and computes the JVM
+    left-to-right ``zip_with``/``aggregate`` dot, which is
+    BIT-identical to DuckDB's ``list_dot_product`` — an exact-hash
+    oracle with zero float drift.  ``vectorized=True`` swaps in one
+    numpy GEMM per Arrow batch (the 100 TB path at dim ≥ 768); its
+    sums are pairwise-ordered, so gate it with recall/tolerance
+    checks, not exact hashes."""
+    import hashlib
+
+    spark = emb.sparkSession
+    v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    dim = len(emb.select(vec_col).first()[0])
+
+    def sign(k: int, i: int) -> float:
+        h = hashlib.md5(f"rp:{k}:{i}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 else -1.0
+
+    if vectorized:
+        import numpy as np
+
+        P = np.array([[sign(k, i) for i in range(dim)]
+                      for k in range(out_dim)])
+
+        @F.pandas_udf("array<double>")
+        def proj(vs: pd.Series) -> pd.Series:
+            if not len(vs):
+                return pd.Series([], dtype=object)
+            X = np.array(vs.tolist(), dtype=np.float64)
+            return pd.Series(list(X @ P.T))
+
+        return v.select(
+            "vec_id", F.posexplode(proj(F.col("v"))).alias("k", "p")
+        ).select("vec_id", F.col("k").cast("long").alias("k"),
+                 F.round("p", 6).alias("proj"))
+
+    planes = spark.createDataFrame(
+        [(k, [sign(k, i) for i in range(dim)])
+         for k in range(out_dim)],
+        "k long, sv array<double>")
+    return (
+        v.crossJoin(F.broadcast(planes))
+        .select("vec_id", "k",
+                F.round(_dot(F.col("v"), F.col("sv")), 6).alias("proj"))
+    )

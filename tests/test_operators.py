@@ -1582,6 +1582,46 @@ def test_simhash_pairs_finds_near_dups(spark):
     assert not any(3 in p for p in got)
 
 
+def test_random_project_paths_agree_and_preserve_distance(spark):
+    """The JVM-exact path and the GEMM scale path produce the same
+    projections to 6 dp; the plane matrix is a pure coordinate
+    function (numpy mirror matches); and projections roughly preserve
+    relative distances (a vector is closer to its near-neighbor than
+    to an unrelated one after projection)."""
+    import hashlib
+
+    import numpy as np
+
+    from serd_spark.operators.similarity import random_project
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=32)
+    vecs = {0: base, 1: base + rng.normal(scale=0.05, size=32),
+            2: rng.normal(size=32)}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+
+    jvm = {(r.vec_id, r.k): r.proj
+           for r in random_project(emb, out_dim=6).collect()}
+    gemm = {(r.vec_id, r.k): r.proj
+            for r in random_project(emb, out_dim=6,
+                                    vectorized=True).collect()}
+    assert set(jvm) == set(gemm)
+    for key in jvm:
+        assert abs(jvm[key] - gemm[key]) < 2e-6, key
+
+    P = np.array([[1.0 if int(hashlib.md5(
+        f"rp:{k}:{i}".encode()).hexdigest()[0], 16) % 2 else -1.0
+        for i in range(32)] for k in range(6)])
+    for (vid, k), p in jvm.items():
+        assert abs(p - round(float(vecs[vid] @ P[k]), 6)) < 1e-5
+
+    pj = {i: np.array([jvm[(i, k)] for k in range(6)]) for i in vecs}
+    assert (np.linalg.norm(pj[0] - pj[1])
+            < np.linalg.norm(pj[0] - pj[2]))
+
+
 def test_embedding_quantize_reconstruction(spark):
     """int8 quantization invariants: |x - q*scale/127| < scale/127
     for every component, q in [-127, 127], the max-|x| component maps
