@@ -1519,6 +1519,21 @@ def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_clean_corpus(_: str) -> str:
+    return f"""
+    WITH {_clean_corpus_ctes()}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang_pred, quality_score,
+           dup_2gram_frac, n_email
+    FROM feat
+    WHERE lang_pred = 'en' AND quality_score >= 0.5
+      AND dup_2gram_frac < 0.5 AND n_email = 0
+    """
+
+
+def _clean_corpus_ctes() -> str:
+    """CTE chain ending in feat(doc_id, lang_pred, quality_score,
+    dup_2gram_frac, n_email) — the SQL mirror of the fused
+    clean_corpus Column builders, shared with the curation-pipeline
+    oracle."""
     from serd_spark.operators.text import (
         LANG_STOPWORDS,
         PII_PATTERNS,
@@ -1556,8 +1571,7 @@ def _o_clean_corpus(_: str) -> str:
         ELSE 0.0 END"""
     email = ("len(regexp_extract_all(text, '"
              + PII_PATTERNS[0][1] + "'))")
-    return f"""
-    WITH s AS (
+    return f"""s AS (
         SELECT doc_id, text,
                string_split_regex(trim(lower(text)), '\\s+') AS w,
                {score_cols}
@@ -1569,12 +1583,59 @@ def _o_clean_corpus(_: str) -> str:
                {quality} AS quality_score,
                {dup2} AS dup_2gram_frac,
                CAST({email} AS BIGINT) AS n_email
-        FROM b)
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang_pred, quality_score,
-           dup_2gram_frac, n_email
-    FROM feat
-    WHERE lang_pred = 'en' AND quality_score >= 0.5
-      AND dup_2gram_frac < 0.5 AND n_email = 0
+        FROM b)"""
+
+
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation job a real user runs end to end, under
+    ONE exact gate: quality-gate the corpus (clean_corpus), drop
+    exact duplicates keeping the min-id representative, and chunk the
+    survivors into overlapping context windows — output (doc_id,
+    n_dups, n_chunks) per surviving document.  The oracle recomputes
+    every stage independently (feature CTEs + hash dedup + the
+    integer window-count formula), so the row also cross-checks that
+    sliding_chunks' actual row count equals its closed form."""
+    from serd_spark.operators.dedup import exact_dedup
+    from serd_spark.operators.packing import sliding_chunks
+    from serd_spark.operators.text import clean_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.join(clean_corpus(docs).select("doc_id"), "doc_id")
+    reps = exact_dedup(kept)
+    surv = kept.join(
+        reps.select(F.col("rep_doc_id").alias("doc_id"), "n_dups"),
+        "doc_id")
+    ch = sliding_chunks(surv, chunk_tokens=64, overlap=16) \
+        .groupBy("doc_id") \
+        .agg(F.count("*").cast("long").alias("n_chunks"))
+    return (
+        surv.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_dups")
+        .join(ch, "doc_id")
+    )
+
+
+def _o_curation_pipeline(_: str) -> str:
+    return f"""
+    WITH {_clean_corpus_ctes()},
+    ckept AS (
+        SELECT d.doc_id, d.text
+        FROM documents d
+        JOIN feat f ON d.doc_id = f.doc_id
+        WHERE f.lang_pred = 'en' AND f.quality_score >= 0.5
+          AND f.dup_2gram_frac < 0.5 AND f.n_email = 0),
+    creps AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS rep,
+               CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM ckept GROUP BY md5(text)),
+    csurv AS (
+        SELECT k.doc_id, k.text, r.n_dups
+        FROM ckept k JOIN creps r ON k.doc_id = r.rep)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_dups,
+           CAST(1 + FLOOR((GREATEST(
+               len(string_split_regex(trim(text), '\\s+')) - 64, 0)
+               + 47) / 48) AS BIGINT) AS n_chunks
+    FROM csurv
     """
 
 
@@ -3363,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_pivot": _q_status_pivot,
         "sliding_chunks": _q_sliding_chunks,
         "random_project": _q_random_project,
+        "curation_pipeline": _q_curation_pipeline,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -3371,9 +3433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": _q_winnowing,
         "lm_score": _q_lm_score,
         "nt_roundtrip": _q_nt_roundtrip,
-        "exact_dedup": _q_exact_dedup,
         # ---- external gate window ends here (position 50) ------------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "exact_dedup": _q_exact_dedup,
         "dedup_keep_best": _q_dedup_keep_best,
         "minhash_lsh": _q_minhash_lsh,
         "minhash_incremental": _q_minhash_incremental,
@@ -3483,6 +3545,7 @@ def oracle_sql() -> dict[str, str]:
         "status_pivot": _o_status_pivot(sf),
         "sliding_chunks": _o_sliding_chunks(sf),
         "random_project": _o_random_project(sf),
+        "curation_pipeline": _o_curation_pipeline(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

@@ -54,7 +54,7 @@ HEADLINE = [
     "embedding_quantize", "lpa_communities", "kg_star",
     "prefix_jaccard", "tfidf_cosine", "shipping_priority",
     "late_shipping", "region_rollup", "status_pivot",
-    "sliding_chunks", "random_project",
+    "sliding_chunks", "random_project", "curation_pipeline",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended
