@@ -2682,9 +2682,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"), gap_sec=1800)
 
 
-def _o_sessionize(_: str) -> str:
-    return """
-    WITH ep AS (
+_SESSIONIZE_CTES = """ep AS (
         SELECT user_id AS key, extract(epoch FROM ts) AS ep
         FROM events),
     marked AS (
@@ -2699,13 +2697,56 @@ def _o_sessionize(_: str) -> str:
         SELECT key, ep, CAST(SUM(is_start) OVER (
             PARTITION BY key ORDER BY ep
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        FROM marked)
+        FROM marked)"""
+
+
+def _o_sessionize(_: str) -> str:
+    return f"""
+    WITH {_SESSIONIZE_CTES}
     SELECT key, session_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(MIN(ep), 6) AS start_ep,
            ROUND(MAX(ep), 6) AS end_ep,
            ROUND(MAX(ep) - MIN(ep), 6) AS duration_sec
     FROM sess GROUP BY key, session_id
+    """
+
+
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval enrichment under the exact gate: events
+    interval-join back to their own sessionize spans (disjoint per
+    key by construction), so every event lands in exactly one
+    interval and the per-session joined counts must equal the
+    session sizes — while the oracle computes the containment with a
+    literal BETWEEN join, a genuinely different plan."""
+    from serd_spark.operators.sessions import interval_join, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    iv = sessionize(ev, gap_sec=1800).select(
+        F.col("key").alias("user_id"), "session_id",
+        "start_ep", "end_ep")
+    j = interval_join(ev.select("user_id", "ts", "event_id"), iv)
+    return (
+        j.groupBy(F.col("user_id").cast("long").alias("key"),
+                  "session_id")
+        .agg(F.count("*").cast("long").alias("n_joined"))
+    )
+
+
+def _o_interval_join(_: str) -> str:
+    return f"""
+    WITH {_SESSIONIZE_CTES},
+    sints AS (
+        SELECT key, session_id,
+               ROUND(MIN(ep), 6) AS start_ep,
+               ROUND(MAX(ep), 6) AS end_ep
+        FROM sess GROUP BY key, session_id)
+    SELECT CAST(e.key AS BIGINT) AS key, s.session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_joined
+    FROM ep e
+    JOIN sints s ON e.key = s.key
+                AND e.ep >= s.start_ep AND e.ep <= s.end_ep
+    GROUP BY e.key, s.session_id
     """
 
 
@@ -3425,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_chunks": _q_sliding_chunks,
         "random_project": _q_random_project,
         "curation_pipeline": _q_curation_pipeline,
+        "interval_join": _q_interval_join,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
@@ -3432,9 +3474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": _q_kcore,
         "winnowing": _q_winnowing,
         "lm_score": _q_lm_score,
-        "nt_roundtrip": _q_nt_roundtrip,
         # ---- external gate window ends here (position 50) ------------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "nt_roundtrip": _q_nt_roundtrip,
         "exact_dedup": _q_exact_dedup,
         "dedup_keep_best": _q_dedup_keep_best,
         "minhash_lsh": _q_minhash_lsh,
@@ -3546,6 +3588,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_chunks": _o_sliding_chunks(sf),
         "random_project": _o_random_project(sf),
         "curation_pipeline": _o_curation_pipeline(sf),
+        "interval_join": _o_interval_join(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

@@ -129,6 +129,56 @@ def asof_join(
     return res
 
 
+def interval_join(
+    events: DataFrame, intervals: DataFrame, key_col: str = "user_id",
+    ts_col: str = "ts", start_col: str = "start_ep",
+    end_col: str = "end_ep", bucket_sec: int | None = None,
+) -> DataFrame:
+    """Point-in-interval join: each event row picks up every interval
+    of the same key whose [start, end] contains its timestamp — log
+    enrichment against sessions/deployments/experiments (the range
+    join Spark has no built-in operator for).
+
+    Output: events' columns + the interval columns (inner join; an
+    event outside every interval drops).
+
+    Scale shape: default is an equi join on the KEY with the range
+    conjunct in the join condition — one hash-partitioned shuffle,
+    correct whenever per-key interval counts are bounded (sessions,
+    deploy windows).  ``bucket_sec`` switches to the time-bucketed
+    form for keys with HUGE interval sets: intervals explode into the
+    coarse epoch buckets they cover, events compute one bucket, and
+    the join keys on (key, bucket) — fan-out = span/bucket_sec per
+    interval, never per-key-cartesian; the exact range filter then
+    keeps true containment (results identical to the plain path,
+    test-enforced).  Pick ``bucket_sec`` ≈ typical span so most
+    intervals cover 1-2 buckets."""
+    ep = F.col(ts_col).cast("timestamp").cast("double")
+    e = events.withColumn("_ep", ep)
+    iv = intervals.withColumnRenamed(key_col, "_ikey")
+    if bucket_sec is None:
+        return e.join(
+            iv,
+            (e[key_col] == F.col("_ikey"))
+            & (F.col("_ep") >= F.col(start_col))
+            & (F.col("_ep") <= F.col(end_col))) \
+            .drop("_ikey", "_ep")
+    b = int(bucket_sec)
+    iv = iv.withColumn(
+        "_ibk",
+        F.explode(F.sequence(
+            F.floor(F.col(start_col) / b).cast("long"),
+            F.floor(F.col(end_col) / b).cast("long"))))
+    eb = e.withColumn("_ebk", F.floor(F.col("_ep") / b).cast("long"))
+    return (
+        eb.join(iv, (eb[key_col] == F.col("_ikey"))
+                & (F.col("_ebk") == F.col("_ibk")))
+        .where((F.col("_ep") >= F.col(start_col))
+               & (F.col("_ep") <= F.col(end_col)))
+        .drop("_ikey", "_ibk", "_ebk", "_ep")
+    )
+
+
 def funnel_counts(
     events: DataFrame, steps: list,
     key_col: str = "user_id", ts_col: str = "ts",

@@ -593,6 +593,41 @@ def test_streaming_quality_gate_equals_batch(spark, tmpdir_path):
     assert got == want and got
 
 
+def test_interval_join_bucketed_equals_plain(spark):
+    """The time-bucketed interval join (scale path for huge per-key
+    interval sets) returns exactly the plain equi+range join's rows,
+    including boundary timestamps, multi-containment, and
+    out-of-every-interval events."""
+    from datetime import datetime as DT
+
+    from serd_spark.operators.sessions import interval_join
+
+    ev = spark.createDataFrame(
+        [(1, 1, DT(2024, 1, 1, 0, 0)), (2, 1, DT(2024, 1, 1, 0, 30)),
+         (3, 1, DT(2024, 1, 1, 2, 0)),   # outside every interval
+         (4, 2, DT(2024, 1, 1, 0, 15)),  # contained in two intervals
+         (5, 2, DT(2024, 1, 1, 1, 0))],  # exactly on a boundary
+        "event_id long, user_id long, ts timestamp")
+    base = DT(2024, 1, 1).timestamp()
+
+    def iv(u, s_min, e_min, tag):
+        return (u, base + s_min * 60, base + e_min * 60, tag)
+
+    intervals = spark.createDataFrame(
+        [iv(1, 0, 45, "a"), iv(2, 0, 20, "b"), iv(2, 10, 60, "c")],
+        "user_id long, start_ep double, end_ep double, tag string")
+
+    def rows(df):
+        return sorted((r.event_id, r.tag) for r in df.collect())
+
+    plain = rows(interval_join(ev, intervals))
+    assert plain == [(1, "a"), (2, "a"), (4, "b"), (4, "c"),
+                     (5, "c")]
+    for b in (60, 600, 3600, 7200):
+        assert rows(interval_join(ev, intervals, bucket_sec=b)) \
+            == plain, b
+
+
 def test_streaming_sessionize_equals_batch(spark, tmpdir_path):
     """Streaming session_window over a replayed multi-file stream
     emits exactly the batch sessionize sessions once the watermark
