@@ -1639,15 +1639,14 @@ def _o_curation_pipeline(_: str) -> str:
     """
 
 
-def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain URL stats over a synthesized URL-bearing corpus
-    (documents.text carries no URLs, so the corpus is constructed from
-    customer — ground truth known to the oracle by the same
-    construction)."""
-    from serd_spark.operators.text import domain_stats
-
+def _domain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized URL-bearing corpus from customer (documents.text
+    carries no URLs): two domains per doc, ground truth known to the
+    oracle by the same construction.  ONE definition — the ddocs CTE
+    in _DOMAIN_SETS_CTES and every domain_* query must stay
+    byte-identical with this builder."""
     cust = _t(spark, sf_dir, "customer")
-    docs = cust.select(
+    return cust.select(
         F.col("c_custkey").cast("long").alias("doc_id"),
         F.concat(
             F.lit("visit http://shop"), (F.col("c_custkey") % 50),
@@ -1656,6 +1655,16 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".example.org/a b"),
         ).alias("text"),
     )
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL stats over a synthesized URL-bearing corpus
+    (documents.text carries no URLs, so the corpus is constructed from
+    customer — ground truth known to the oracle by the same
+    construction)."""
+    from serd_spark.operators.text import domain_stats
+
+    docs = _domain_docs(spark, sf_dir)
     return domain_stats(docs)
 
 
@@ -1723,16 +1732,7 @@ def _q_domain_cograph(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the link-farm cap on per-doc domain counts."""
     from serd_spark.operators.text import domain_cooccurrence
 
-    cust = _t(spark, sf_dir, "customer")
-    docs = cust.select(
-        F.col("c_custkey").cast("long").alias("doc_id"),
-        F.concat(
-            F.lit("visit http://shop"), (F.col("c_custkey") % 50),
-            F.lit(".example.com/item/"), "c_custkey",
-            F.lit(" and http://cdn"), (F.col("c_custkey") % 7),
-            F.lit(".example.org/a b"),
-        ).alias("text"),
-    )
+    docs = _domain_docs(spark, sf_dir)
     return domain_cooccurrence(docs, max_doc_domains=32)
 
 
@@ -1750,16 +1750,7 @@ def _q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.graph import pagerank_weighted
     from serd_spark.operators.text import domain_cooccurrence
 
-    cust = _t(spark, sf_dir, "customer")
-    docs = cust.select(
-        F.col("c_custkey").cast("long").alias("doc_id"),
-        F.concat(
-            F.lit("visit http://shop"), (F.col("c_custkey") % 50),
-            F.lit(".example.com/item/"), "c_custkey",
-            F.lit(" and http://cdn"), (F.col("c_custkey") % 7),
-            F.lit(".example.org/a b"),
-        ).alias("text"),
-    )
+    docs = _domain_docs(spark, sf_dir)
     edges = domain_cooccurrence(docs, max_doc_domains=32)
     return pagerank_weighted(edges, n_iter=3, src="domain_a",
                              dst="domain_b", weight="n_docs")
@@ -1780,16 +1771,7 @@ def _q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     linking any blocked domain (every 7th cdn shard + one shop)."""
     from serd_spark.operators.text import drop_blocked_domains
 
-    cust = _t(spark, sf_dir, "customer")
-    docs = cust.select(
-        F.col("c_custkey").cast("long").alias("doc_id"),
-        F.concat(
-            F.lit("visit http://shop"), (F.col("c_custkey") % 50),
-            F.lit(".example.com/item/"), "c_custkey",
-            F.lit(" and http://cdn"), (F.col("c_custkey") % 7),
-            F.lit(".example.org/a b"),
-        ).alias("text"),
-    )
+    docs = _domain_docs(spark, sf_dir)
     blocked = spark.createDataFrame(
         [("cdn3.example.org",), ("shop7.example.com",)],
         "domain string")

@@ -226,8 +226,10 @@ def main() -> None:
     # "value" = sum of per-query best-of-two minima (the decontended
     # estimate, metric renamed headline_best_total in r5 so it can't
     # be confused with the r1-r3 single-pass wall-clock headline);
-    # wall_clock_total = the first raw pass, the like-for-like number
-    # against those earlier rounds; both raw pass totals ride along.
+    # wall_clock_total = the first raw pass.  NOTE: cross-round
+    # comparisons of EITHER number are only like-for-like on the
+    # shared query subset — HEADLINE grows every round, so compare
+    # per-query values (the "queries" map), not totals.
     headline_total = round(sum(queries.values()), 3)
     result = {
         "metric": "headline_best_total",

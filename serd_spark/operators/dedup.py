@@ -244,11 +244,7 @@ def tfidf_cosine_pairs(
     and norm sums are single non-iterative reductions — the same
     round(…,6) grain as every other one-shot float aggregate in the
     repo (lm_score, ngram stats), not the iterative-rank case."""
-    toks = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-        .alias("tok"),
-    ).where(F.col("tok") != "")
+    toks = _exploded_tokens(docs, text_col)
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count("*").cast("double").alias("_tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("_df"))
@@ -608,6 +604,20 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def _exploded_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, tok) stream: lowercase whitespace tokens, empties
+    dropped — the shared token universe of the set-similarity
+    operators (prefix filter and tf-idf cosine must agree on it for
+    their cross-operator comparisons to mean anything; note
+    ``simhash`` deliberately KEEPS empty tokens — its oracle mirrors
+    that — so it does not use this helper)."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .alias("tok"),
+    ).where(F.col("tok") != "")
+
+
 def prefix_filter_pairs(
     docs: DataFrame, text_col: str = "text", tau: float = 0.6,
 ) -> DataFrame:
@@ -633,11 +643,7 @@ def prefix_filter_pairs(
     verify stage joins full token sets only for candidate pairs.
     Every step mirrors exactly in SQL (same ceil of the same IEEE
     double ``tau·n``)."""
-    toks = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-        .alias("tok"),
-    ).where(F.col("tok") != "").distinct()
+    toks = _exploded_tokens(docs, text_col).distinct()
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("_n"))
     w = Window.partitionBy("doc_id").orderBy(
@@ -686,12 +692,16 @@ def simhash_pairs(
     max_bucket: int = 64,
 ) -> DataFrame:
     """SimHash near-duplicate pairs (Charikar / the Google-crawl
-    scheme): candidate pairs share at least one of four 16-bit bands
-    of the 64-bit signature — by pigeonhole this finds EVERY pair
-    within Hamming distance 3 (4 bands, ≤3 differing bits can touch
-    at most 3 bands) — then the exact Hamming distance
-    ``bit_count(xor)`` verifies.  Output: (doc_a, doc_b, hamming)
-    with hamming ≤ ``max_hamming``.
+    scheme): candidate pairs share at least one of
+    ``max_hamming + 1`` bands of the 64-bit signature — by pigeonhole
+    this finds EVERY pair within Hamming distance ``max_hamming``
+    (≤ h differing bits can touch at most h of h+1 bands, so one
+    band is always identical) — then the exact Hamming distance
+    ``bit_count(xor)`` verifies.  The band COUNT derives from
+    ``max_hamming`` (a fixed band count would silently lose recall
+    for larger thresholds); the default h=3 gives the classic four
+    16-bit bands.  Output: (doc_a, doc_b, hamming) with
+    hamming ≤ ``max_hamming``.
 
     The bit-parallel complement of :func:`minhash_lsh_pairs` (set
     overlap) and ``winnowing_matches`` (shared runs): SimHash
@@ -713,15 +723,23 @@ def simhash_pairs(
     measured ~30% off the whole operator at sf0.1, unlike the
     corpus-sized winnowing fingerprint table where the same trick
     measured net-negative (shuffle reuse already covers it)."""
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError(
+            f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, rem = divmod(64, n_bands)
+    widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     sigs = simhash(docs, text_col).localCheckpoint()
     bands = sigs.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(i).alias("band_idx"),
-                F.shiftright("simhash", 16 * i)
-                .bitwiseAND(F.lit(65535)).alias("band_val"))
-            for i in range(4)])).alias("b"),
+                F.shiftright("simhash", offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("band_val"))
+            for i in range(n_bands)])).alias("b"),
     ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
     ok = bands.groupBy("band_idx", "band_val") \
         .agg(F.count("*").alias("_n")) \

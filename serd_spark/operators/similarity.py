@@ -569,7 +569,12 @@ def random_project(
     spark = emb.sparkSession
     v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
-    dim = len(emb.select(vec_col).first()[0])
+    probe = emb.where(F.col(vec_col).isNotNull()) \
+        .select(vec_col).first()
+    if probe is None:  # empty table / all-null column
+        return spark.createDataFrame(
+            [], "vec_id long, k long, proj double")
+    dim = len(probe[0])
 
     def sign(k: int, i: int) -> float:
         h = hashlib.md5(f"rp:{k}:{i}".encode()).hexdigest()
@@ -585,8 +590,16 @@ def random_project(
         def proj(vs: pd.Series) -> pd.Series:
             if not len(vs):
                 return pd.Series([], dtype=object)
-            X = np.array(vs.tolist(), dtype=np.float64)
-            return pd.Series(list(X @ P.T))
+            # null embeddings -> all-null projection arrays, matching
+            # the JVM path's (vec_id, k, NULL) rows (ivf_assign-style
+            # guard: never feed None into np.array)
+            vals = vs.tolist()
+            X = np.array([x if x is not None else [0.0] * dim
+                          for x in vals], dtype=np.float64)
+            Y = X @ P.T
+            return pd.Series(
+                [list(y) if x is not None else [None] * out_dim
+                 for x, y in zip(vals, Y)])
 
         return v.select(
             "vec_id", F.posexplode(proj(F.col("v"))).alias("k", "p")

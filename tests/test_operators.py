@@ -1288,11 +1288,16 @@ def test_pagerank_matches_numpy_power_iteration(spark):
 
 
 def _rank_e4_py(x: float) -> float:
-    """Python mirror of graph._rank_e4: round-6, scale to near-integer
-    ppm, floor-divide to the e-4 grain."""
+    """Python mirror of graph._rank_e4: round-6 (HALF_UP via Decimal
+    — builtin round() is banker's and would diverge from Spark's
+    BigDecimal HALF_UP exactly at the half-boundaries this grain
+    defends), scale to near-integer ppm, floor-divide to e-4."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
-    return math.floor(round(round(x, 6) * 1e6) / 100) / 1e4
+    r6 = float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP))
+    return math.floor(round(r6 * 1e6) / 100) / 1e4
 
 
 def test_pagerank_rounding_survives_summation_order(spark):
@@ -1591,6 +1596,45 @@ def test_prefix_filter_completeness_vs_brute_force(spark):
         got = {(r.doc_a, r.doc_b): r.jaccard
                for r in prefix_filter_pairs(docs, tau=tau).collect()}
         assert got == want and got, tau
+
+
+def test_simhash_pairs_complete_vs_brute_force(spark):
+    """The pigeonhole guarantee at thresholds beyond the default:
+    with max_hamming+1 bands, EVERY pair within the threshold is
+    found — compare against brute-force popcount over all signature
+    pairs at h=3 and h=8 (the h=8 case needs 9 bands; a fixed 4-band
+    scheme would silently drop pairs differing in 4-8 bits spread
+    across all four bands)."""
+    import itertools
+    import random
+
+    from serd_spark.operators.dedup import simhash, simhash_pairs
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(30):
+        base = rng.sample(vocab, 20)
+        rows.append((i, " ".join(base)))
+        mut = list(base)
+        for _ in range(rng.randint(1, 3)):
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        rows.append((100 + i, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash & (2**64 - 1)
+            for r in simhash(docs).collect()}
+
+    for h in (3, 8):
+        want = {}
+        for a, b in itertools.combinations(sorted(sigs), 2):
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= h:
+                want[(a, b)] = d
+        got = {(r.doc_a, r.doc_b): r.hamming
+               for r in simhash_pairs(docs, max_hamming=h,
+                                      max_bucket=10**6).collect()}
+        assert got == want, h
+        assert want, h  # fixture must actually exercise the bound
 
 
 def test_simhash_pairs_finds_near_dups(spark):
