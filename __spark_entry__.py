@@ -1924,6 +1924,64 @@ def _o_lm_score(_: str) -> str:
     """
 
 
+def _q_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True held-out LM scoring (the self-counting fix the lm_score
+    docstring prescribes): the bigram model fits on the even-id
+    split, the odd-id split is scored against it; bigrams/words the
+    model never saw degrade to the add-one floor via LEFT joins."""
+    from serd_spark.operators.text import lm_bigram_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_bigram_score(
+        docs.where(F.col("doc_id") % 2 == 1),
+        model_docs=docs.where(F.col("doc_id") % 2 == 0))
+
+
+def _o_lm_heldout(_: str) -> str:
+    return """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+                   AS w
+        FROM documents WHERE doc_id % 2 = 1),
+    mt AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+                   AS w
+        FROM documents WHERE doc_id % 2 = 0),
+    uni AS (
+        SELECT word, COUNT(*) AS c_w FROM (
+            SELECT unnest(w) AS word FROM mt)
+        WHERE word <> '' GROUP BY word),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v_sz FROM uni),
+    mbgs AS (
+        SELECT unnest(
+            CASE WHEN len(w) >= 2 THEN
+                list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])
+            ELSE [] END) AS bg
+        FROM mt),
+    bc AS (SELECT bg, COUNT(*) AS c_ab FROM mbgs GROUP BY bg),
+    bgs AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 2 THEN
+                list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])
+            ELSE [] END) AS bg
+        FROM t),
+    lp AS (
+        SELECT d.doc_id,
+               ln((COALESCE(c.c_ab, 0) + 1)
+                  / (COALESCE(u.c_w, 0) + v.v_sz)) AS lp
+        FROM bgs d
+        LEFT JOIN bc c USING (bg)
+        LEFT JOIN uni u ON string_split(d.bg, ' ')[1] = u.word
+        CROSS JOIN v)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(lp), 6) AS lm_score
+    FROM lp GROUP BY doc_id
+    """
+
+
 def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.text import winnowing_fingerprints
 
@@ -3449,15 +3507,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_project": _q_random_project,
         "curation_pipeline": _q_curation_pipeline,
         "interval_join": _q_interval_join,
+        "lm_heldout": _q_lm_heldout,
+        "lm_score": _q_lm_score,
         # -- (3) family-adjacent re-verification -----------------------
         "kg_relations": _q_kg_relations,
         "graph_degrees": _q_graph_degrees,
         "triangle_count": _q_triangle_count,
         "kcore": _q_kcore,
-        "winnowing": _q_winnowing,
-        "lm_score": _q_lm_score,
         # ---- external gate window ends here (position 50) ------------
         # -- (4) round-4 hash-green, untouched since -------------------
+        "winnowing": _q_winnowing,
         "nt_roundtrip": _q_nt_roundtrip,
         "exact_dedup": _q_exact_dedup,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -3571,6 +3630,7 @@ def oracle_sql() -> dict[str, str]:
         "random_project": _o_random_project(sf),
         "curation_pipeline": _o_curation_pipeline(sf),
         "interval_join": _o_interval_join(sf),
+        "lm_heldout": _o_lm_heldout(sf),
         "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),

@@ -55,7 +55,7 @@ HEADLINE = [
     "prefix_jaccard", "tfidf_cosine", "shipping_priority",
     "late_shipping", "region_rollup", "status_pivot",
     "sliding_chunks", "random_project", "curation_pipeline",
-    "interval_join",
+    "interval_join", "lm_heldout",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended

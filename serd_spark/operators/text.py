@@ -146,7 +146,10 @@ def langid_confusion(
     )
 
 
-def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lm_bigram_score(
+    docs: DataFrame, text_col: str = "text",
+    model_docs: DataFrame | None = None,
+) -> DataFrame:
     """Per-document mean bigram log-likelihood under an add-one-
     smoothed corpus bigram model — the CCNet/KenLM-style fluency
     filter with the corpus itself as the model (no external LM):
@@ -164,9 +167,13 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     every bigram is guaranteed c_ab ≥ 1 by its own occurrence.  At
     corpus scale the bias is O(1/corpus_count) per bigram and only
     matters for near-singleton transitions; rank order among
-    gibberish vs fluent docs is unaffected.  If true held-out scoring
-    is needed, fit the count tables on a disjoint split and join them
-    against the scored corpus instead.
+    gibberish vs fluent docs is unaffected.  For true held-out
+    scoring pass ``model_docs`` (a disjoint split): the count tables
+    fit on the model split and unseen bigrams/words degrade to the
+    add-one floor ``ln(1 / V)`` via the left joins — the joins are
+    LEFT + coalesce unconditionally, which is value-identical to the
+    old inner joins on the default self-model path (every bigram
+    matches its own corpus counts).
 
     Scale shape: unigram/bigram count tables are map-side-combined
     aggregations; the per-doc bigram stream joins them keyed by
@@ -175,17 +182,22 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     one-row broadcast; one final per-doc aggregation."""
     from .dedup import _shingles_from_tokens
 
-    toks = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"))
+    def tok_arrays(d):
+        return d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            .alias("_t"))
+
+    toks = tok_arrays(docs)
+    mtoks = tok_arrays(model_docs) if model_docs is not None else toks
     uni = (
-        toks.select(F.explode("_t").alias("w"))
+        mtoks.select(F.explode("_t").alias("w"))
         .where(F.col("w") != "")
         .groupBy("w").agg(F.count("*").alias("c_w"))
     )
     vocab = uni.agg(F.count("*").cast("double").alias("v_sz"))
     big_counts = (
-        toks.select(F.explode(
+        mtoks.select(F.explode(
             _shingles_from_tokens(F.col("_t"), 2)).alias("bg"))
         .groupBy("bg").agg(F.count("*").alias("c_ab"))
     )
@@ -194,13 +206,14 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.explode(_shingles_from_tokens(F.col("_t"), 2)).alias("bg"))
     w1 = F.split(F.col("bg"), " ")[0]
     scored = (
-        doc_bg.join(big_counts, "bg")
+        doc_bg.join(big_counts, "bg", "left")
         .withColumn("w", w1)
-        .join(uni, "w")
+        .join(uni, "w", "left")
         .crossJoin(F.broadcast(vocab))
         .select("doc_id",
-                F.log((F.col("c_ab") + 1)
-                      / (F.col("c_w") + F.col("v_sz"))).alias("lp"))
+                F.log((F.coalesce(F.col("c_ab"), F.lit(0)) + 1)
+                      / (F.coalesce(F.col("c_w"), F.lit(0))
+                         + F.col("v_sz"))).alias("lp"))
     )
     return (
         scored.groupBy("doc_id")
