@@ -687,21 +687,77 @@ def prefix_filter_pairs(
     )
 
 
+def _simhash_bands(
+    docs: DataFrame, text_col: str, max_hamming: int,
+) -> DataFrame:
+    """(doc_id, simhash, band_idx, band_val) rows: the localCheck-
+    pointed signature table exploded into ``max_hamming + 1`` bands —
+    shared by :func:`simhash_pairs` and its recall-loss audit
+    :func:`simhash_dropped_buckets`."""
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError(
+            f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, rem = divmod(64, n_bands)
+    widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    sigs = simhash(docs, text_col).localCheckpoint()
+    return sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright("simhash", offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("band_val"))
+            for i in range(n_bands)])).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+
+
+def simhash_dropped_buckets(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """The recall-loss audit for :func:`simhash_pairs`: every band
+    bucket the ``max_bucket`` cap DROPS, with its population —
+    pairs inside these buckets are the ones the capped candidate
+    join never sees (and they skew toward templated near-identical
+    docs, where the pigeonhole guarantee would matter most).
+    Output: (band_idx, band_val, n_docs), descending by n_docs.
+    Empty ⇒ the pair set is provably complete for ``max_hamming``."""
+    bands = _simhash_bands(docs, text_col, max_hamming)
+    return (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
+        .orderBy(F.col("n_docs").desc(), "band_idx", "band_val")
+    )
+
+
 def simhash_pairs(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 3,
     max_bucket: int = 64,
 ) -> DataFrame:
     """SimHash near-duplicate pairs (Charikar / the Google-crawl
     scheme): candidate pairs share at least one of
-    ``max_hamming + 1`` bands of the 64-bit signature — by pigeonhole
-    this finds EVERY pair within Hamming distance ``max_hamming``
-    (≤ h differing bits can touch at most h of h+1 bands, so one
-    band is always identical) — then the exact Hamming distance
-    ``bit_count(xor)`` verifies.  The band COUNT derives from
-    ``max_hamming`` (a fixed band count would silently lose recall
-    for larger thresholds); the default h=3 gives the classic four
-    16-bit bands.  Output: (doc_a, doc_b, hamming) with
-    hamming ≤ ``max_hamming``.
+    ``max_hamming + 1`` bands of the 64-bit signature, then the exact
+    Hamming distance ``bit_count(xor)`` verifies.
+
+    Completeness: the pigeonhole guarantee (≤ h differing bits touch
+    at most h of h+1 bands, so one band is always identical) holds
+    ONLY among documents outside capped buckets — the ``max_bucket``
+    cap drops hot bands wholesale, and near-identical/templated
+    documents, exactly the ones most likely to be within
+    hamming ≤ h, are the ones that land in hot buckets, so the
+    recall loss concentrates where the guarantee matters most.
+    Audit the loss with :func:`simhash_dropped_buckets` (same
+    signature), which returns each capped (band, value, n_docs) row;
+    raise ``max_bucket`` — cost grows O(n²) per bucket — or route
+    those docs through exact dedup if the dropped mass matters.
+    The band COUNT derives from ``max_hamming`` (a fixed band count
+    would silently lose recall for larger thresholds); the default
+    h=3 gives the classic four 16-bit bands.
+    Output: (doc_a, doc_b, hamming) with hamming ≤ ``max_hamming``.
 
     The bit-parallel complement of :func:`minhash_lsh_pairs` (set
     overlap) and ``winnowing_matches`` (shared runs): SimHash
@@ -723,24 +779,7 @@ def simhash_pairs(
     measured ~30% off the whole operator at sf0.1, unlike the
     corpus-sized winnowing fingerprint table where the same trick
     measured net-negative (shuffle reuse already covers it)."""
-    n_bands = max_hamming + 1
-    if not 1 <= n_bands <= 64:
-        raise ValueError(
-            f"max_hamming must be in [0, 63], got {max_hamming}")
-    base, rem = divmod(64, n_bands)
-    widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
-    offsets = [sum(widths[:i]) for i in range(n_bands)]
-    sigs = simhash(docs, text_col).localCheckpoint()
-    bands = sigs.select(
-        "doc_id", "simhash",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.shiftright("simhash", offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("band_val"))
-            for i in range(n_bands)])).alias("b"),
-    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    bands = _simhash_bands(docs, text_col, max_hamming)
     ok = bands.groupBy("band_idx", "band_val") \
         .agg(F.count("*").alias("_n")) \
         .where(F.col("_n") <= max_bucket) \

@@ -280,3 +280,49 @@ def pagerank_weighted(
         )
     return ranks.select(F.col("u").alias("node"),
                         _rank_e4(F.col("r")))
+
+
+def bfs_levels(
+    edges: DataFrame, roots: DataFrame, max_iters: int = 30,
+    src: str = "src", dst: str = "dst", id_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS reachability with hop counts: the SPARQL
+    property-path query ``?root p+ ?x`` (transitive closure from a
+    root set) as iterative frontier expansion — the KG shape behind
+    "everything derivable from these seed entities" (ontology
+    subclass closure, provenance chains, dependency cones).
+
+    Output: (node, level) — every node reachable from ``roots``
+    (which appear at level 0), with level = MINIMUM hop count.
+    Integer-exact, so the fixpoint needs no float grain: the oracle
+    is a recursive CTE and the gate is exact equality.
+
+    Scale shape (Pregel-style): per round, ONE shuffle join of the
+    edge table against the current frontier (frontier-sized, not
+    graph-sized), an anti-join against the visited set to keep the
+    frontier shrinking on converging paths, and localCheckpoint on
+    both accumulators to truncate the iterative lineage (the
+    pagerank/k-core discipline).  Terminates at the first empty
+    frontier — ``max_iters`` is a diameter backstop, not a tuning
+    knob.  Works on cyclic graphs: a cycle's nodes enter ``visited``
+    on first touch and the anti-join keeps them out of later
+    frontiers (the recursive-CTE oracle, by contrast, needs an
+    acyclic input to terminate)."""
+    frontier = roots.select(F.col(id_col).alias("node")).distinct() \
+        .withColumn("level", F.lit(0)).localCheckpoint()
+    visited = frontier
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    for _ in range(max_iters):
+        nxt = (
+            e.join(frontier, e["_s"] == frontier["node"])
+            .select(F.col("_d").alias("node"),
+                    (F.col("level") + 1).alias("level"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select("node", F.col("level").cast("int").alias("level"))

@@ -385,6 +385,9 @@ def bgp_2hop(
 
 def bgp_star(
     triples: DataFrame, preds: list, out_cols: list | None = None,
+    optional_preds: list | None = None,
+    optional_cols: list | None = None,
+    max_per_pred: int | None = None,
 ) -> DataFrame:
     """Star-shaped basic graph pattern: ``?s p1 ?o1 . ?s p2 ?o2 …``
     — the entity-profile query (all requested properties of each
@@ -392,21 +395,65 @@ def bgp_star(
     of :func:`bgp_2hop`.  A subject with multiple values for one
     predicate fans out combinationally (standard BGP semantics).
 
-    Output: (s, out_cols…), distinct.
+    ``optional_preds`` arms are SPARQL ``OPTIONAL { ?s p ?o }``
+    clauses: a LEFT join on the same ``s`` key — subjects missing the
+    property keep their required-arm rows with NULL in that column
+    (the property-sometimes-absent profile every SPARQL user writes
+    daily; an inner arm would silently drop those subjects).
+
+    ``max_per_pred`` caps the per-subject fan-out: a pathological hub
+    subject with thousands of values on two-plus arms goes QUADRATIC
+    (cartesian per subject), the star-join analogue of the hot LSH
+    bucket.  Subjects exceeding the cap on an arm are quarantined
+    from that arm entirely (dropped rows on a required arm drop the
+    subject; on an optional arm it reverts to NULL) — the same
+    drop-the-hot-bucket semantics as ``max_bucket`` in the
+    LSH/SimHash family, deterministic and order-independent where a
+    keep-first-N would depend on row order.  Default None = uncapped
+    (entity profiles are near-1:1 per predicate; set it when feeding
+    untrusted/wild triples).
+
+    Output: (s, out_cols…, optional_cols…), distinct.
 
     Scale shape: each arm is ONE predicate's edges (filter pushed to
-    the scan over a materialized table), and every join keys on the
-    SAME column ``s`` — so over a subject-bucketed triple table
+    the scan over a materialized table), and every join — required
+    and optional alike — keys on the SAME column ``s``, so over a
+    subject-bucketed triple table
     (``materialize.write_bucketed_triples``) the whole star is
-    exchange-free, and on any layout the n-way join reuses one hash
-    partitioning of ``s`` across all arms instead of re-shuffling per
-    join."""
+    exchange-free (test-pinned: the executed plan has zero Exchange
+    nodes), and on any layout the n-way join reuses one hash
+    partitioning of ``s`` across all arms instead of re-shuffling
+    per join.  The cap is a per-arm count window — same partitioning
+    again, no extra exchange."""
+    if not preds:
+        raise ValueError("preds must be non-empty")
     out_cols = out_cols or [f"o{i}" for i in range(1, len(preds) + 1)]
-    df = None
-    for p, oc in zip(preds, out_cols):
+    if len(out_cols) != len(preds):
+        raise ValueError(
+            f"out_cols has {len(out_cols)} names for {len(preds)} preds")
+    optional_preds = optional_preds or []
+    optional_cols = optional_cols or [
+        f"opt{i}" for i in range(1, len(optional_preds) + 1)]
+    if len(optional_cols) != len(optional_preds):
+        raise ValueError(
+            f"optional_cols has {len(optional_cols)} names for "
+            f"{len(optional_preds)} optional_preds")
+
+    def _arm(p: str, oc: str) -> DataFrame:
         arm = triples.where(F.col("p") == p).select(
             "s", F.col("o").alias(oc))
+        if max_per_pred is not None:
+            w = Window.partitionBy("s")
+            arm = arm.withColumn("_n", F.count("*").over(w)) \
+                .where(F.col("_n") <= max_per_pred).drop("_n")
+        return arm
+
+    df = None
+    for p, oc in zip(preds, out_cols):
+        arm = _arm(p, oc)
         df = arm if df is None else df.join(arm, "s")
+    for p, oc in zip(optional_preds, optional_cols):
+        df = df.join(_arm(p, oc), "s", "left")
     return df.distinct()
 
 

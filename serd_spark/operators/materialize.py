@@ -130,6 +130,21 @@ def write_bucketed_triples(
     the Iceberg `bucket(N, s)` partition transform the deploy target
     uses; `parse_documents_colocated` expects the same discipline on
     the transcripts side (bucket by conv_id)."""
+    spark = triples.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A PREVIOUS session's in-memory catalog forgot the table but its
+    # warehouse directory survives on disk; a managed-table save then
+    # fails with LOCATION_ALREADY_EXISTS.  Clear the stale location.
+    if "." not in table:
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if wh.scheme in ("", "file") and wh.path:
+            stale = os.path.join(wh.path, table.lower())
+            if os.path.isdir(stale):
+                import shutil
+
+                shutil.rmtree(stale, ignore_errors=True)
     (
         triples.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)

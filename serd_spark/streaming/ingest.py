@@ -487,3 +487,49 @@ def streaming_sessionize(
             .alias("end_ep"),
             "n_events")
     )
+
+
+def start_streaming_interval_enrich(
+    stream: DataFrame, intervals: DataFrame, sink,
+    key_col: str = "user_id", ts_col: str = "ts",
+    start_col: str = "start_ep", end_col: str = "end_ep",
+    bucket_sec: int | None = None,
+    checkpoint_path: str | None = None, available_now: bool = True,
+):
+    """Streaming interval enrichment: the ``foreachBatch`` form of
+    ``operators.sessions.interval_join`` — each arriving event picks
+    up the intervals (deploy windows, experiment assignments, closed
+    sessions) of its key that contain its timestamp, as it lands,
+    completing the streaming mirror of the sessions family next to
+    the dedup/contamination/quality-gate/sessionize precedents.
+
+    The interval side is the classic slowly-changing side input: it
+    is cached ONCE at stream start and every micro-batch joins
+    against the cached table (no interval re-scan per batch).
+    Because the enrichment is a pure per-event join against that
+    static side — no cross-batch state — the micro-batch output is
+    exactly the batch operator applied to the batch's rows:
+    stream-over-any-split == batch, test-enforced.  ``bucket_sec``
+    passes through to the anti-cartesian time-bucketed form for
+    huge per-key interval sets (results identical, test-enforced in
+    the batch suite).
+
+    ``sink(enriched_df, batch_id)`` receives each batch's enriched
+    rows.  Returns the started StreamingQuery."""
+    from ..operators.sessions import interval_join
+
+    iv = intervals.cache()
+    iv.count()  # materialize before the first batch
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink(interval_join(batch_df, iv, key_col=key_col,
+                           ts_col=ts_col, start_col=start_col,
+                           end_col=end_col, bucket_sec=bucket_sec),
+             batch_id)
+
+    writer = stream.writeStream.foreachBatch(handle)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

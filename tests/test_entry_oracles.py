@@ -46,8 +46,14 @@ def _norm(v):
 
 def _rows_sorted(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    # None-safe sort (NULLs last, like the driver's pandas
+    # canonicalization): OPTIONAL-arm outputs legitimately carry NULL
+    def key(t):
+        return tuple((1, "") if v is None else (0, v) for v in t)
+
     return sorted(
-        tuple(_norm(r[i]) for i in idx) for r in rows
+        (tuple(_norm(r[i]) for i in idx) for r in rows), key=key
     )
 
 
@@ -168,3 +174,77 @@ def test_embedding_neardup_blocked_exact(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_contract_outputs_scalar_only(spark):
+    """Registry lint: every queries() output schema carries ONLY
+    scalar columns — the external gate canonicalizes results with
+    pandas (sort_values/factorize), which cannot hash list/dict
+    cells, so an ArrayType/MapType/StructType column ERRs the row
+    even when the values are exactly right (the round-5
+    embedding_quantize lesson).  Operators may stay array-valued;
+    the CONTRACT projection must serialize."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, q in entrymod.queries().items():
+        for f in q(spark, SF_DIR).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"non-scalar contract outputs: {bad}"
+
+
+def _rows_fingerprint(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(_norm(r[c]) for c in cols) for r in df.collect())
+
+
+def test_tfidf_cosine_stable_under_partitioning(spark):
+    """The tfidf_cosine contract row gates ROUND(sum, 6) of float dot
+    products under an exact hash — pin that the rounded values are
+    invariant to partial-aggregation order by driving the SAME input
+    through different physical partitionings (the float-knife-edge
+    class the rank family's e-4 grain already defused; this one is a
+    single non-iterative reduction, so 6-dp must hold)."""
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref = None
+    for parts in (1, 3, 17):
+        d = docs.repartition(parts, F.col("doc_id") * parts + 1)
+        pairs = minhash_lsh_pairs(d, n_bands=4, shingle_k=3,
+                                  max_bucket=64)
+        fp = _rows_fingerprint(tfidf_cosine_pairs(d, pairs))
+        if ref is None:
+            ref = fp
+            assert fp  # non-empty at sf0.001
+        else:
+            assert fp == ref, f"partitioning {parts} changed values"
+
+
+def test_lm_heldout_stable_under_partitioning(spark):
+    """Same pin for lm_heldout's ROUND(mean ln(...), 6): the per-doc
+    mean over bigram log-probs must not move at 6 dp when the model
+    and scored splits aggregate in different partial orders."""
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.text import lm_bigram_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref = None
+    for parts in (1, 5, 13):
+        d = docs.repartition(parts, F.col("doc_id") * parts + 1)
+        out = lm_bigram_score(
+            d.where(F.col("doc_id") % 2 == 1),
+            model_docs=d.where(F.col("doc_id") % 2 == 0))
+        fp = _rows_fingerprint(out)
+        if ref is None:
+            ref = fp
+            assert fp
+        else:
+            assert fp == ref, f"partitioning {parts} changed values"

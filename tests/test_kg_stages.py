@@ -234,3 +234,127 @@ def test_detect_mentions_substring_and_linking(spark):
     assert ("new york", 1) in linked
     assert not any(a == "york" for a, _ in linked)
     assert ("ample", 3) in linked
+
+
+def _triples_df(spark, rows):
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def test_bgp_star_optional_left_join(spark):
+    """OPTIONAL arms keep subjects that lack the property (NULL in
+    the optional column) and fill it where present — SPARQL OPTIONAL
+    semantics, where an inner arm would drop the subject."""
+    from serd_spark.operators.kg import bgp_star
+
+    t = _triples_df(spark, [
+        ("s1", "p1", "a"), ("s1", "p2", "b"), ("s1", "px", "X"),
+        ("s2", "p1", "c"), ("s2", "p2", "d"),       # no px
+        ("s3", "p1", "e"),                          # missing required p2
+    ])
+    got = {(r.s, r.o1, r.o2, r.x)
+           for r in bgp_star(t, ["p1", "p2"],
+                             optional_preds=["px"],
+                             optional_cols=["x"]).collect()}
+    assert got == {("s1", "a", "b", "X"), ("s2", "c", "d", None)}
+
+
+def test_bgp_star_optional_fanout(spark):
+    """Multiple values on an OPTIONAL arm fan out combinationally,
+    same as required arms."""
+    from serd_spark.operators.kg import bgp_star
+
+    t = _triples_df(spark, [
+        ("s1", "p1", "a"), ("s1", "px", "X"), ("s1", "px", "Y"),
+    ])
+    got = {(r.s, r.o1, r.opt1)
+           for r in bgp_star(t, ["p1"], optional_preds=["px"]).collect()}
+    assert got == {("s1", "a", "X"), ("s1", "a", "Y")}
+
+
+def test_bgp_star_validates_args(spark):
+    import pytest as _pytest
+
+    from serd_spark.operators.kg import bgp_star
+
+    t = _triples_df(spark, [("s1", "p1", "a")])
+    with _pytest.raises(ValueError, match="non-empty"):
+        bgp_star(t, [])
+    with _pytest.raises(ValueError, match="out_cols"):
+        bgp_star(t, ["p1", "p2"], ["only_one"])
+    with _pytest.raises(ValueError, match="optional_cols"):
+        bgp_star(t, ["p1"], optional_preds=["px"],
+                 optional_cols=["a", "b"])
+
+
+def test_bgp_star_max_per_pred_caps_hub(spark):
+    """A hub subject with many values on two arms would go quadratic
+    (cartesian per subject); max_per_pred quarantines it from the arm
+    — dropping the subject on a required arm, reverting to NULL on an
+    optional arm — while normal subjects are untouched."""
+    from serd_spark.operators.kg import bgp_star
+
+    rows = [("hub", "p1", f"a{i}") for i in range(10)]
+    rows += [("hub", "p2", f"b{i}") for i in range(10)]
+    rows += [("ok", "p1", "x"), ("ok", "p2", "y"), ("ok", "px", "z")]
+    rows += [("hubopt", "p1", "q"), ("hubopt", "p2", "r")]
+    rows += [("hubopt", "px", f"o{i}") for i in range(10)]
+    t = _triples_df(spark, rows)
+
+    # uncapped: hub contributes 10*10 rows
+    assert bgp_star(t, ["p1", "p2"]).count() == 100 + 1 + 1
+    # capped: hub quarantined from both required arms -> dropped
+    got = {(r.s, r.o1, r.o2)
+           for r in bgp_star(t, ["p1", "p2"], max_per_pred=5).collect()}
+    assert got == {("ok", "x", "y"), ("hubopt", "q", "r")}
+    # capped OPTIONAL arm reverts to NULL instead of dropping
+    got = {(r.s, r.o1, r.o2, r.x)
+           for r in bgp_star(t, ["p1", "p2"], optional_preds=["px"],
+                             optional_cols=["x"],
+                             max_per_pred=5).collect()}
+    assert got == {("ok", "x", "y", "z"), ("hubopt", "q", "r", None)}
+
+
+def test_bgp_over_bucketed_triples_exchange_free(spark):
+    """The triple-store read path the 100 TB design claims: over a
+    table materialized with write_bucketed_triples (bucketed+sorted
+    by s), the WHOLE star — required arms, OPTIONAL arm, and the
+    final distinct — plans with ZERO Exchange nodes (every join keys
+    on s, the bucket column, and the distinct's grouping contains s),
+    and the 2-hop path join needs strictly fewer exchanges than the
+    same query over a plain parquet copy (its s-keyed side rides the
+    buckets; only the o-keyed side and the distinct shuffle)."""
+    from serd_spark.operators.kg import bgp_2hop, bgp_star
+    from serd_spark.operators.materialize import write_bucketed_triples
+
+    rows = [(f"s{i}", "p1", f"s{(i + 1) % 200}") for i in range(200)]
+    rows += [(f"s{i}", p, f"{p}_v{i % 5}")
+             for i in range(200) for p in ("p2", "p3")]
+    t = spark.createDataFrame(rows, "s string, p string, o string")
+    write_bucketed_triples(t, "t_bgp_plan_test", n_buckets=4)
+    bt = spark.table("t_bgp_plan_test")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def plan(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        star = plan(bgp_star(bt, ["p1", "p2"],
+                             optional_preds=["p3"]))
+        assert "Bucketed: true" in star, star
+        assert star.count("Exchange") == 0, star
+        assert "PushedFilters: [IsNotNull(p), EqualTo(p,p1)" in star
+
+        hop_bucketed = plan(bgp_2hop(bt, "p1", "p2"))
+        assert "Bucketed: true" in hop_bucketed
+        hop_plain = plan(bgp_2hop(t, "p1", "p2"))
+        assert hop_bucketed.count("Exchange") \
+            < hop_plain.count("Exchange"), (hop_bucketed, hop_plain)
+
+        # same rows either way (the layout is a plan property only)
+        got_b = {tuple(r) for r in bgp_2hop(bt, "p1", "p2").collect()}
+        got_p = {tuple(r) for r in bgp_2hop(t, "p1", "p2").collect()}
+        assert got_b == got_p and got_b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bgp_plan_test")

@@ -2193,3 +2193,80 @@ def test_compression_ratio_separates_boilerplate(spark):
     again = {r.doc_id: r.compress_ratio
              for r in compression_ratio(docs).collect()}
     assert got == again
+
+
+def test_streaming_interval_enrich_equals_batch(spark, tmpdir_path):
+    """foreachBatch interval enrichment over a replayed multi-file
+    stream equals interval_join on the full event set — the interval
+    side is static (cached once) and the join is per-event, so
+    micro-batching is invisible in the union of batch outputs."""
+    from serd_spark.operators.sessions import interval_join
+    from serd_spark.streaming.ingest import start_streaming_interval_enrich
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "user_id", "ts")
+    base = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("timestamp").cast("double")).alias("m"))
+    intervals = base.select(
+        "user_id", F.col("m").alias("start_ep"),
+        (F.col("m") + 3600).alias("end_ep"),
+        F.lit("w1").alias("tag"),
+    ).unionByName(base.select(
+        "user_id", (F.col("m") + 1800).alias("start_ep"),
+        (F.col("m") + 7200).alias("end_ep"),
+        F.lit("w2").alias("tag")))
+
+    inp = os.path.join(tmpdir_path, "ivin")
+    ckpt = os.path.join(tmpdir_path, "ivckpt")
+    ev.repartition(6).write.parquet(inp)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inp)
+    )
+    got: set[tuple] = set()
+
+    def sink(enr, batch_id):
+        for r in enr.collect():
+            assert (r.event_id, r.tag) not in got
+            got.add((r.event_id, r.tag))
+
+    q = start_streaming_interval_enrich(stream, intervals, sink,
+                                        checkpoint_path=ckpt)
+    q.awaitTermination(180)
+
+    want = {(r.event_id, r.tag)
+            for r in interval_join(ev, intervals).collect()}
+    assert got == want and got
+
+
+def test_simhash_dropped_buckets_audit(spark):
+    """simhash_dropped_buckets surfaces exactly the hot buckets the
+    cap silently drops: a templated block of identical docs exceeds
+    the cap (pairs missed, audit non-empty); with the cap raised the
+    audit is empty and the pigeonhole pair set includes the block."""
+    from serd_spark.operators.dedup import (
+        simhash_dropped_buckets,
+        simhash_pairs,
+    )
+
+    rows = [(i, "the exact same templated boilerplate text")
+            for i in range(20)]
+    rows += [(100 + i, f"unique document number {i} with words {i * 7}")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # cap below the block size: all 4 bands of the 20 identical docs
+    # are hot -> dropped; the identical pairs are MISSED
+    dropped = simhash_dropped_buckets(docs, max_bucket=10).collect()
+    assert dropped and all(r.n_docs == 20 for r in dropped)
+    got = {(r.doc_a, r.doc_b)
+           for r in simhash_pairs(docs, max_bucket=10).collect()}
+    assert not any(a < 20 and b < 20 for a, b in got)
+
+    # cap above the block size: audit empty, completeness restored
+    assert not simhash_dropped_buckets(docs, max_bucket=32).collect()
+    got = {(r.doc_a, r.doc_b)
+           for r in simhash_pairs(docs, max_bucket=32).collect()}
+    assert {(a, b) for a in range(20) for b in range(20) if a < b} \
+        <= got
