@@ -3490,6 +3490,59 @@ def _o_kg_star_optional(_: str) -> str:
     """
 
 
+def _q_kg_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation-by-absence BGP under the exact gate: orders with a
+    ``s:cust`` arm but NO ``s:clerk`` property (only every third
+    order carries one in the clerk corpus) — SPARQL FILTER NOT
+    EXISTS as a left-anti join on the same subject key every other
+    BGP join uses.  The oracle knows the absent set by construction
+    (o_orderkey % 3 <> 0)."""
+    from serd_spark.operators.kg import bgp_not_exists
+
+    triples = _turtle_orders_triples(
+        spark, sf_dir, with_clerk=True).localCheckpoint()
+    return bgp_not_exists(triples, "urn:schema:cust",
+                          "urn:schema:clerk", out_col="cust_iri")
+
+
+def _o_kg_not_exists(_: str) -> str:
+    return """
+    SELECT 'urn:order:' || o_orderkey AS s,
+           'urn:cust:' || o_custkey AS cust_iri
+    FROM orders WHERE o_orderkey % 3 <> 0
+    """
+
+
+def _q_kg_char_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets (the star-join cardinality statistic)
+    over the parsed clerk corpus: every order's predicate set is
+    {rdf:type, status, cust} plus clerk for every third order — so
+    the corpus has exactly TWO schema shapes, whose subject counts
+    the oracle knows by construction.  Hash-gates parser fan-out +
+    per-subject set assembly + the shape census end to end."""
+    from serd_spark.operators.kg import characteristic_sets
+
+    triples = _turtle_orders_triples(
+        spark, sf_dir, with_clerk=True).localCheckpoint()
+    return characteristic_sets(triples)
+
+
+def _o_kg_char_sets(_: str) -> str:
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return f"""
+    SELECT '{rdf_type}|urn:schema:clerk|urn:schema:cust|urn:schema:status'
+               AS char_set,
+           CAST(COUNT(*) AS BIGINT) AS n_subjects
+    FROM orders WHERE o_orderkey % 3 = 0
+    HAVING COUNT(*) > 0
+    UNION ALL
+    SELECT '{rdf_type}|urn:schema:cust|urn:schema:status',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 <> 0
+    HAVING COUNT(*) > 0
+    """
+
+
 def _q_kg_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure / property-path query (``?root p+ ?x``)
     under the exact gate: BFS hop levels over the synthetic
@@ -3654,10 +3707,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_star_optional": _q_kg_star_optional,
         "kg_2hop_bucketed": _q_kg_2hop_bucketed,
         "kg_reachability": _q_kg_reachability,
+        "kg_not_exists": _q_kg_not_exists,
+        "kg_char_sets": _q_kg_char_sets,
+        # ---- external gate window ends here (position 50) ------------
+        # -- (3) round-5 driver-green ----------------------------------
+        # (simhash_pairs and tfidf_cosine lead group 3 — both r5
+        #  hash-green, both yielded their slots to the never-verified
+        #  BGP shapes: simhash_pairs' only round-6 change is the
+        #  mechanical _simhash_bands extraction, value-identical and
+        #  re-proven by its oracle in the full pytest simulation;
+        #  tfidf_cosine is untouched and its 6-dp float gate is now
+        #  pinned by the partitioning-stability property test)
         "simhash_pairs": _q_simhash_pairs,
         "tfidf_cosine": _q_tfidf_cosine,
-        # ---- external gate window ends here (position 50) ------------
-        # -- (3) round-5 driver-green, untouched since -----------------
         "semantic_decon": _q_semantic_decon,
         "ivf_cells": _q_ivf_cells,
         "sessionize": _q_sessionize,
@@ -3768,6 +3830,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_star_optional": _o_kg_star_optional(sf),
         "kg_2hop_bucketed": _o_kg_2hop(sf),
         "kg_reachability": _o_kg_reachability(sf),
+        "kg_not_exists": _o_kg_not_exists(sf),
+        "kg_char_sets": _o_kg_char_sets(sf),
         "prefix_jaccard": _o_prefix_jaccard(sf),
         "tfidf_cosine": _o_tfidf_cosine(sf),
         "shipping_priority": _o_shipping_priority(sf),

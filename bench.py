@@ -56,6 +56,8 @@ HEADLINE = [
     "late_shipping", "region_rollup", "status_pivot",
     "sliding_chunks", "random_project", "curation_pipeline",
     "interval_join", "lm_heldout",
+    "kg_star_optional", "kg_2hop_bucketed", "kg_reachability",
+    "kg_not_exists", "kg_char_sets",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended

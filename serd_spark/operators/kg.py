@@ -457,6 +457,55 @@ def bgp_star(
     return df.distinct()
 
 
+def bgp_not_exists(
+    triples: DataFrame, pred: str, absent_pred: str,
+    out_col: str = "o",
+) -> DataFrame:
+    """Negation-by-absence BGP: ``?s pred ?o . FILTER NOT EXISTS
+    { ?s absent_pred ?any }`` — the third workhorse SPARQL shape
+    after the path join (:func:`bgp_2hop`) and the star/OPTIONAL
+    profile (:func:`bgp_star`): "entities that LACK a property"
+    (orders without a clerk, docs without a license triple, nodes
+    missing a type).  Output: (s, out_col), distinct.
+
+    Scale shape: both arms are ONE predicate's edges (filters pushed
+    to the scan) and the NOT EXISTS is a LEFT ANTI join on ``s`` —
+    same key as every other BGP join, so over a subject-bucketed
+    triple table (``materialize.write_bucketed_triples``) it is
+    exchange-free, and the anti join never materializes the negated
+    side's values (Spark builds/probes only ``s``)."""
+    have = triples.where(F.col("p") == pred).select(
+        "s", F.col("o").alias(out_col))
+    absent = triples.where(F.col("p") == absent_pred).select("s")
+    return have.join(absent, "s", "left_anti").distinct()
+
+
+def characteristic_sets(triples: DataFrame) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): for
+    each subject, its sorted distinct predicate set; then how many
+    subjects share each set — THE triple-store statistic for star-
+    join cardinality estimation (a planner reads "12M subjects have
+    exactly {type, status, cust}" and prices a 3-arm star without
+    touching data), and for KG QUALITY auditing (a tiny stray set =
+    schema drift / extraction bugs).
+
+    Output: (char_set, n_subjects) with ``char_set`` the
+    ``|``-joined sorted predicate IRIs — a scalar string, so the
+    contract gate can hash it.
+
+    Scale shape: ONE aggregation keyed by ``s`` (exchange-free over
+    a subject-bucketed table; map-side-combined ``collect_set`` is
+    bounded by a subject's distinct predicate count, dozens not
+    millions) into one aggregation over the set strings, whose
+    cardinality is the number of DISTINCT schema shapes — tiny by
+    construction.  No explode, no join."""
+    per_s = triples.groupBy("s").agg(
+        F.array_join(F.array_sort(F.collect_set("p")), "|")
+        .alias("char_set"))
+    return per_s.groupBy("char_set").agg(
+        F.count("*").cast("long").alias("n_subjects"))
+
+
 def kg_entity_link_pipeline(
     turns: DataFrame, entities: DataFrame, text_col: str = "text",
     max_gram: int = 2, key_cols: tuple = ("conv_id", "turn_idx"),

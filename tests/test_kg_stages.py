@@ -323,7 +323,12 @@ def test_bgp_over_bucketed_triples_exchange_free(spark):
     and the 2-hop path join needs strictly fewer exchanges than the
     same query over a plain parquet copy (its s-keyed side rides the
     buckets; only the o-keyed side and the distinct shuffle)."""
-    from serd_spark.operators.kg import bgp_2hop, bgp_star
+    from serd_spark.operators.kg import (
+        bgp_2hop,
+        bgp_not_exists,
+        bgp_star,
+        characteristic_sets,
+    )
     from serd_spark.operators.materialize import write_bucketed_triples
 
     rows = [(f"s{i}", "p1", f"s{(i + 1) % 200}") for i in range(200)]
@@ -351,6 +356,14 @@ def test_bgp_over_bucketed_triples_exchange_free(spark):
         assert hop_bucketed.count("Exchange") \
             < hop_plain.count("Exchange"), (hop_bucketed, hop_plain)
 
+        # NOT EXISTS rides the same bucket partitioning: zero Exchange
+        ne = plan(bgp_not_exists(bt, "p2", "p3"))
+        assert ne.count("Exchange") == 0, ne
+        # characteristic sets: the subject-keyed agg is exchange-free;
+        # only the tiny shape census shuffles
+        cs = plan(characteristic_sets(bt))
+        assert cs.count("Exchange") == 1, cs
+
         # same rows either way (the layout is a plan property only)
         got_b = {tuple(r) for r in bgp_2hop(bt, "p1", "p2").collect()}
         got_p = {tuple(r) for r in bgp_2hop(t, "p1", "p2").collect()}
@@ -358,3 +371,36 @@ def test_bgp_over_bucketed_triples_exchange_free(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bgp_plan_test")
+
+
+def test_bgp_not_exists_semantics(spark):
+    """NOT EXISTS keeps subjects lacking the negated predicate —
+    including subjects with MULTIPLE values on the kept arm — and
+    drops any subject carrying it, however many times."""
+    from serd_spark.operators.kg import bgp_not_exists
+
+    t = _triples_df(spark, [
+        ("s1", "p1", "a"), ("s1", "p1", "b"),          # no px: kept
+        ("s2", "p1", "c"), ("s2", "px", "X"),           # has px: out
+        ("s3", "p1", "d"), ("s3", "px", "X"), ("s3", "px", "Y"),
+        ("s4", "p2", "e"),                              # no p1 arm
+    ])
+    got = {(r.s, r.o)
+           for r in bgp_not_exists(t, "p1", "px").collect()}
+    assert got == {("s1", "a"), ("s1", "b")}
+
+
+def test_characteristic_sets_census(spark):
+    """Per-subject sorted predicate sets collapse to one row per
+    schema shape with exact subject counts; duplicate (s, p) edges
+    don't inflate the set."""
+    from serd_spark.operators.kg import characteristic_sets
+
+    t = _triples_df(spark, [
+        ("s1", "b", "1"), ("s1", "a", "2"), ("s1", "a", "3"),
+        ("s2", "a", "4"), ("s2", "b", "5"),
+        ("s3", "a", "6"),
+    ])
+    got = {(r.char_set, r.n_subjects)
+           for r in characteristic_sets(t).collect()}
+    assert got == {("a|b", 2), ("a", 1)}
