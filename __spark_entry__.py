@@ -3270,12 +3270,15 @@ def _o_kg_parse_nt(_: str) -> str:
 
 
 def _order_cust_nation_triples(
-    spark: SparkSession, sf_dir: str,
+    spark: SparkSession, sf_dir: str, with_region: bool = False,
 ) -> DataFrame:
     """Parse the synthesized NT corpus of order→customer and
     customer→nation edges through the real chunked parser — shared
     by kg_2hop (localCheckpoint stand-in) and kg_2hop_bucketed (the
-    real ``write_bucketed_triples`` materialization)."""
+    real ``write_bucketed_triples`` materialization).  With
+    ``with_region`` the corpus additionally carries nation→region
+    edges, giving kg_path3 a third hop; the default corpus is
+    unchanged so the 2-hop oracles keep enumerating it exactly."""
     from pyspark.sql import Window
 
     from serd_spark.operators.parse import (
@@ -3312,8 +3315,25 @@ def _order_cust_nation_triples(
         F.lit(None).cast("string").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
+    tdf = t1.unionByName(t2)
+    if with_region:
+        nation = _t(spark, sf_dir, "nation")
+        t3 = nation.select(
+            F.concat(F.lit("r"), F.col("n_nationkey").cast("string"))
+            .alias("conv_id"),
+            F.lit(1).cast("int").alias("turn_idx"),
+            F.lit("tool").alias("role"),
+            F.concat(
+                F.lit("<urn:nation:"), "n_nationkey",
+                F.lit("> <urn:schema:region> <urn:region:"),
+                "n_regionkey", F.lit("> ."),
+            ).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        tdf = tdf.unionByName(t3)
     triples, _ = split_quarantine(parse_documents_chunked(
-        t1.unionByName(t2), chunk_turns=8))
+        tdf, chunk_turns=8))
     return triples
 
 
@@ -3585,6 +3605,125 @@ def _o_kg_reachability(_: str) -> str:
     """
 
 
+def _q_kg_path3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length sequence property path (``?o :cust/:nation/
+    :region ?r`` — SPARQL 1.1 path syntax) over the parsed NT corpus
+    extended with nation→region edges: three predicate-filtered hash
+    joins chained on the frontier node, the shape a SPARQL user
+    writes for any fixed-depth rollup.  The oracle knows the answer
+    by construction (orders ⋈ customer ⋈ nation) without parsing, so
+    the row hash-gates parse + 3-hop chain end to end."""
+    from serd_spark.operators.kg import bgp_path
+
+    triples = _order_cust_nation_triples(
+        spark, sf_dir, with_region=True).localCheckpoint()
+    return bgp_path(
+        triples,
+        ["urn:schema:cust", "urn:schema:nation", "urn:schema:region"],
+        out_cols=("order_iri", "region_iri"))
+
+
+def _o_kg_path3(_: str) -> str:
+    return """
+    SELECT DISTINCT 'urn:order:' || o_orderkey AS order_iri,
+           'urn:region:' || n_regionkey AS region_iri
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    """
+
+
+def _q_kg_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES inline binding under the exact gate:
+    ``VALUES (?status ?grade) { ("F" "closed") ("O" "open") }
+    ?s s:status ?status`` over the parsed Turtle corpus — the
+    query-author-typed row table broadcasts against one predicate's
+    edges and carries its ?grade binding alongside each match ('P'
+    orders and the 'pN' literals bind nothing and drop).  The oracle
+    mirrors with a literal VALUES clause."""
+    from serd_spark.operators.kg import bgp_values
+
+    triples = _turtle_orders_triples(spark, sf_dir).localCheckpoint()
+    return bgp_values(
+        triples, "urn:schema:status",
+        [("F", "closed"), ("O", "open")], ["status", "grade"])
+
+
+def _o_kg_values(_: str) -> str:
+    return """
+    SELECT DISTINCT 'urn:order:' || o_orderkey AS s,
+           v.status, v.grade
+    FROM orders
+    JOIN (VALUES ('F', 'closed'), ('O', 'open')) v(status, grade)
+      ON o_orderstatus = v.status
+    """
+
+
+def _q_kg_triple_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acceptance metric itself (triple P/R vs a reference
+    graph) as a driver-gated distributed operator: parse a lax NT
+    corpus where every 'P'-status order carries a malformed object
+    (quarantined, so the emitted graph MISSES those triples →
+    recall < 1) and score it against an expected graph that by
+    construction excludes every 11th order (so the emitted graph
+    has EXTRA triples → precision < 1).  Both metrics are genuinely
+    data-dependent and integer-exact (ppm via BIGINT division — no
+    float for the gate to trip on); the oracle counts the same three
+    populations directly from orders."""
+    from serd_spark.operators.kg import triple_pr
+    from serd_spark.operators.parse import (
+        parse_documents_chunked,
+        split_quarantine,
+    )
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    obj = F.when(F.col("o_orderstatus") == "P", F.lit("bad ."))\
+        .otherwise(F.concat(F.lit("<urn:cust:"), "o_custkey",
+                            F.lit("> .")))
+    tdf = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        .alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.concat(
+            F.lit("<urn:order:"), "o_orderkey",
+            F.lit("> <urn:schema:cust> "), obj,
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    emitted, _ = split_quarantine(
+        parse_documents_chunked(tdf, chunk_turns=8))
+    expected = orders.where(F.col("o_orderkey") % 11 != 0).select(
+        F.concat(F.lit("urn:order:"), "o_orderkey").alias("s"),
+        F.lit("urn:schema:cust").alias("p"),
+        F.concat(F.lit("urn:cust:"), "o_custkey").alias("o"))
+    return triple_pr(emitted, expected)
+
+
+def _o_kg_triple_pr(_: str) -> str:
+    return """
+    WITH c AS (
+        SELECT COUNT(*) FILTER (WHERE o_orderstatus <> 'P')
+                   AS n_emitted,
+               COUNT(*) FILTER (WHERE o_orderkey % 11 <> 0)
+                   AS n_expected,
+               COUNT(*) FILTER (WHERE o_orderstatus <> 'P'
+                                AND o_orderkey % 11 <> 0)
+                   AS n_matched
+        FROM orders)
+    SELECT CAST(n_emitted AS BIGINT) AS n_emitted,
+           CAST(n_expected AS BIGINT) AS n_expected,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(n_matched * 1000000 // n_emitted AS BIGINT)
+               AS precision_ppm,
+           CAST(n_matched * 1000000 // n_expected AS BIGINT)
+               AS recall_ppm
+    FROM c
+    """
+
+
 def _o_kg_turtle_expand(_: str) -> str:
     return """
     SELECT 'urn:order:' || o_orderkey AS s,
@@ -3710,6 +3849,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_not_exists": _q_kg_not_exists,
         "kg_char_sets": _q_kg_char_sets,
         # ---- external gate window ends here (position 50) ------------
+        # -- (2b) new after the window filled (oracle-green in the
+        #    repo simulation this round; first in line for the
+        #    round-7 window as the only never-driver-verified rows) --
+        "kg_path3": _q_kg_path3,
+        "kg_values": _q_kg_values,
+        "kg_triple_pr": _q_kg_triple_pr,
         # -- (3) round-5 driver-green ----------------------------------
         # (simhash_pairs and tfidf_cosine lead group 3 — both r5
         #  hash-green, both yielded their slots to the never-verified
@@ -3832,6 +3977,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_reachability": _o_kg_reachability(sf),
         "kg_not_exists": _o_kg_not_exists(sf),
         "kg_char_sets": _o_kg_char_sets(sf),
+        "kg_path3": _o_kg_path3(sf),
+        "kg_values": _o_kg_values(sf),
+        "kg_triple_pr": _o_kg_triple_pr(sf),
         "prefix_jaccard": _o_prefix_jaccard(sf),
         "tfidf_cosine": _o_tfidf_cosine(sf),
         "shipping_priority": _o_shipping_priority(sf),

@@ -506,6 +506,129 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_subjects"))
 
 
+def bgp_path(
+    triples: DataFrame, preds: list,
+    out_cols: tuple = ("a", "z"),
+) -> DataFrame:
+    """Sequence property path: ``?a p1/p2/…/pk ?z`` — the SPARQL 1.1
+    path expression generalizing :func:`bgp_2hop` to any fixed hop
+    count (order→customer→nation→region, doc→entity→class→ontology).
+    Output: distinct (a, z).  For the UNBOUNDED form (``p+``) use
+    :func:`serd_spark.operators.graph.bfs_levels`; this is the
+    fixed-length chain, which needs no fixpoint.
+
+    Scale shape: each hop is ONE predicate's edges (filter pushed to
+    the scan of a materialized triple table), chained by k−1 hash
+    joins each keyed on the current frontier node.  Intermediate
+    nodes project away immediately, so the shuffled width stays two
+    columns per hop regardless of k.  Nothing is a cartesian and no
+    side is assumed broadcastable; hop joins key alternately on
+    ``s``/``o`` so only the first hop rides a subject-bucketed
+    layout — the path join is the case FOR predicate-partitioned
+    secondary layouts, which this operator reads as-is."""
+    if not preds:
+        raise ValueError("preds must be non-empty")
+    oa, oz = out_cols
+    df = triples.where(F.col("p") == preds[0]).select(
+        F.col("s").alias(oa), F.col("o").alias("_n"))
+    for p in preds[1:]:
+        hop = triples.where(F.col("p") == p).select(
+            F.col("s").alias("_n"), F.col("o").alias("_m"))
+        df = df.join(hop, "_n").select(
+            oa, F.col("_m").alias("_n"))
+    return df.select(oa, F.col("_n").alias(oz)).distinct()
+
+
+def bgp_values(
+    triples: DataFrame, pred: str, values: list,
+    value_cols: list, on: str = "o", out_col: str | None = None,
+) -> DataFrame:
+    """SPARQL ``VALUES`` inline binding: restrict one triple pattern
+    to an explicit row table and carry its extra bound columns —
+    e.g. ``VALUES (?status ?grade) { ("F" "closed") ("O" "open") }
+    ?s :status ?status`` binds ``?grade`` alongside each match.  The
+    parameterized-query workhorse (federated bindings, UI filter
+    lists, join against a hand-curated mapping).
+
+    ``values`` is a list of tuples; ``value_cols`` names them.  The
+    FIRST value column matches the triple's ``on`` side (``"o"`` or
+    ``"s"``); the rest ride along as bound outputs.  Output:
+    (out_col, value_cols…) distinct — the triple's OTHER side
+    (default name ``"s"`` when matching objects, ``"o"`` when
+    matching subjects), the matched node, and the carried bindings.
+
+    Scale shape: the inline table is literal-sized by construction
+    (a query author typed it), so it BROADCASTS — the corpus-scale
+    triple side is filtered to one predicate (scan-pushed) and
+    probes the broadcast hash table map-side: zero shuffle beyond
+    the final distinct, and over a subject-bucketed table none at
+    all when ``on="s"``."""
+    if on not in ("s", "o"):
+        raise ValueError(f"on must be 's' or 'o', got {on!r}")
+    if not values:
+        raise ValueError("values must be non-empty")
+    if not value_cols or len(value_cols) != len(values[0]):
+        raise ValueError(
+            f"value_cols has {len(value_cols or [])} names for "
+            f"{len(values[0])}-wide values rows")
+    spark = triples.sparkSession
+    inline = spark.createDataFrame(values, value_cols)
+    other = "o" if on == "s" else "s"
+    out_col = out_col or other
+    arm = triples.where(F.col("p") == pred).select(
+        F.col(on).alias(value_cols[0]),
+        F.col(other).alias(out_col))
+    return arm.join(
+        F.broadcast(inline), value_cols[0]).select(
+        out_col, *value_cols).distinct()
+
+
+def triple_pr(
+    emitted: DataFrame, expected: DataFrame,
+    keys: tuple = ("s", "p", "o"),
+) -> DataFrame:
+    """Triple-level precision/recall of an emitted KG against an
+    expected one — the acceptance metric of the whole pipeline
+    (P/R ≥ 0.95 vs the reference's triples) as a first-class
+    distributed operator, so a 100 TB run can audit itself without
+    collecting either side.  Set semantics: both inputs dedup on
+    ``keys`` first (RDF graphs are triple SETS).
+
+    Output: ONE row — n_emitted, n_expected, n_matched (bigint) and
+    precision_ppm / recall_ppm: ``matched * 10^6 div n`` as BIGINT
+    integer division, so the metric is integer-exact end to end (no
+    float division for an exact-equality gate to trip on; callers
+    wanting a float divide by 1e6).  Empty sides yield 0 ppm rather
+    than a division error.
+
+    Scale shape: one distinct per side (map-side-combined) and ONE
+    full-outer join on ``keys`` feeding a single global aggregate of
+    three partial-combined sums — the join is corpus-scale on both
+    sides, so it shuffle-hash-joins on the triple key; nothing
+    broadcasts, nothing collects, and the one-row result is the
+    only thing that reaches the driver."""
+    ks = list(keys)
+    e = emitted.select(ks).distinct().withColumn("_e", F.lit(1))
+    x = expected.select(ks).distinct().withColumn("_x", F.lit(1))
+    j = e.join(x, ks, "full_outer")
+    agg = j.agg(
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("long")
+        .alias("n_emitted"),
+        F.coalesce(F.sum("_x"), F.lit(0)).cast("long")
+        .alias("n_expected"),
+        F.coalesce(F.sum(F.col("_e") * F.col("_x")), F.lit(0))
+        .cast("long").alias("n_matched"))
+    ppm = "{m} * CAST(1000000 AS BIGINT) div {n}"
+    return agg.select(
+        "n_emitted", "n_expected", "n_matched",
+        F.when(F.col("n_emitted") > 0,
+               F.expr(ppm.format(m="n_matched", n="n_emitted")))
+        .otherwise(F.lit(0)).cast("long").alias("precision_ppm"),
+        F.when(F.col("n_expected") > 0,
+               F.expr(ppm.format(m="n_matched", n="n_expected")))
+        .otherwise(F.lit(0)).cast("long").alias("recall_ppm"))
+
+
 def kg_entity_link_pipeline(
     turns: DataFrame, entities: DataFrame, text_col: str = "text",
     max_gram: int = 2, key_cols: tuple = ("conv_id", "turn_idx"),

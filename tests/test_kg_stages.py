@@ -404,3 +404,102 @@ def test_characteristic_sets_census(spark):
     got = {(r.char_set, r.n_subjects)
            for r in characteristic_sets(t).collect()}
     assert got == {("a|b", 2), ("a", 1)}
+
+
+def test_bgp_path_chains_hops(spark):
+    """A 3-hop sequence path chains only complete chains: a missing
+    middle hop prunes the whole path, endpoints dedup, and a 1-pred
+    path degenerates to the predicate's own (s, o) set."""
+    from serd_spark.operators.kg import bgp_path
+
+    t = _triples_df(spark, [
+        ("o1", "cust", "c1"), ("c1", "nation", "n1"),
+        ("n1", "region", "r1"),
+        ("o2", "cust", "c2"), ("c2", "nation", "n2"),  # n2 dangles
+        ("o3", "cust", "c1"),                           # shares chain
+        ("o4", "other", "c1"),                          # wrong pred
+    ])
+    got = {(r.a, r.z) for r in bgp_path(
+        t, ["cust", "nation", "region"]).collect()}
+    assert got == {("o1", "r1"), ("o3", "r1")}
+    one = {(r.a, r.z) for r in bgp_path(t, ["region"]).collect()}
+    assert one == {("n1", "r1")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        bgp_path(t, [])
+
+
+def test_bgp_values_binds_inline_rows(spark):
+    """VALUES matches the chosen triple side against the inline
+    table's first column and carries the remaining bindings;
+    unmatched triples drop; on='s' matches subjects instead."""
+    from serd_spark.operators.kg import bgp_values
+
+    t = _triples_df(spark, [
+        ("o1", "status", "F"), ("o1", "status", "p1"),
+        ("o2", "status", "O"), ("o3", "status", "P"),
+        ("o1", "cust", "c1"),
+    ])
+    got = {(r.s, r.status, r.grade) for r in bgp_values(
+        t, "status", [("F", "closed"), ("O", "open")],
+        ["status", "grade"]).collect()}
+    assert got == {("o1", "F", "closed"), ("o2", "O", "open")}
+    by_s = {(r.o, r.subj, r.label) for r in bgp_values(
+        t, "status", [("o1", "one")], ["subj", "label"],
+        on="s").collect()}
+    assert by_s == {("F", "o1", "one"), ("p1", "o1", "one")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="'s' or 'o'"):
+        bgp_values(t, "status", [("F",)], ["v"], on="p")
+    with _pytest.raises(ValueError, match="non-empty"):
+        bgp_values(t, "status", [], ["v"])
+    with _pytest.raises(ValueError, match="value_cols"):
+        bgp_values(t, "status", [("F", "x")], ["only_one"])
+
+
+def test_bgp_values_broadcasts_inline_table(spark):
+    """The inline table is literal-sized by construction, so the
+    plan must probe it as a broadcast hash join — the corpus side
+    never shuffles for the binding."""
+    from serd_spark.operators.kg import bgp_values
+
+    t = _triples_df(spark, [("o1", "status", "F")])
+    plan = bgp_values(
+        t, "status", [("F", "closed")], ["status", "grade"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_triple_pr_exact_ppm(spark):
+    """P/R counts are set-semantics (duplicate triples count once)
+    and the ppm columns are exact integer division."""
+    from serd_spark.operators.kg import triple_pr
+
+    emitted = _triples_df(spark, [
+        ("s1", "p", "a"), ("s1", "p", "a"),   # dup: counts once
+        ("s2", "p", "b"), ("s3", "p", "c"),
+    ])
+    expected = _triples_df(spark, [
+        ("s1", "p", "a"), ("s2", "p", "b"),
+        ("s4", "p", "d"), ("s5", "p", "e"),
+    ])
+    r = triple_pr(emitted, expected).collect()[0]
+    assert (r.n_emitted, r.n_expected, r.n_matched) == (3, 4, 2)
+    assert r.precision_ppm == 2 * 1000000 // 3
+    assert r.recall_ppm == 500000
+
+
+def test_triple_pr_identity_and_empty(spark):
+    """A graph scored against itself is exactly 10^6 ppm both ways;
+    an empty side yields 0 ppm instead of a division error."""
+    from serd_spark.operators.kg import triple_pr
+
+    g = _triples_df(spark, [("s1", "p", "a"), ("s2", "p", "b")])
+    r = triple_pr(g, g).collect()[0]
+    assert (r.precision_ppm, r.recall_ppm) == (1000000, 1000000)
+    empty = g.where(F.col("s") == "nope")
+    r2 = triple_pr(empty, g).collect()[0]
+    assert (r2.n_emitted, r2.precision_ppm, r2.recall_ppm) == (0, 0, 0)
+    r3 = triple_pr(g, empty).collect()[0]
+    assert (r3.n_emitted, r3.n_expected,
+            r3.precision_ppm, r3.recall_ppm) == (2, 0, 0, 0)
