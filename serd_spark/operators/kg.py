@@ -517,24 +517,48 @@ def bgp_path(
     :func:`serd_spark.operators.graph.bfs_levels`; this is the
     fixed-length chain, which needs no fixpoint.
 
-    Scale shape: each hop is ONE predicate's edges (filter pushed to
-    the scan of a materialized triple table), chained by k−1 hash
-    joins each keyed on the current frontier node.  Intermediate
-    nodes project away immediately, so the shuffled width stays two
-    columns per hop regardless of k.  Nothing is a cartesian and no
-    side is assumed broadcastable; hop joins key alternately on
-    ``s``/``o`` so only the first hop rides a subject-bucketed
-    layout — the path join is the case FOR predicate-partitioned
-    secondary layouts, which this operator reads as-is."""
+    Each hop spec is a predicate string, ``"^pred"`` for the INVERSE
+    path (``^p`` traverses object→subject — "orders OF a customer"),
+    or a list of either for ALTERNATION (``(p1|p2)`` — each
+    alternative keeps its own direction, so ``["region",
+    "^nation"]`` is SPARQL's ``(region|^nation)``).
+
+    Scale shape: each hop is one isin/equality predicate filter
+    (pushed to the scan of a materialized triple table; an
+    alternation is ONE scan with an IN filter per direction, not a
+    scan per alternative), chained by k−1 hash joins each keyed on
+    the current frontier node.  Intermediate nodes project away
+    immediately, so the shuffled width stays two columns per hop
+    regardless of k.  Nothing is a cartesian and no side is assumed
+    broadcastable; hop joins key alternately on ``s``/``o`` so only
+    the first forward hop rides a subject-bucketed layout — the path
+    join is the case FOR predicate-partitioned secondary layouts,
+    which this operator reads as-is."""
     if not preds:
         raise ValueError("preds must be non-empty")
+
+    def _hop(spec, src: str, dst: str) -> DataFrame:
+        alts = [spec] if isinstance(spec, str) else list(spec)
+        if not alts:
+            raise ValueError("alternation hop must be non-empty")
+        fwd = [p for p in alts if not p.startswith("^")]
+        inv = [p[1:] for p in alts if p.startswith("^")]
+        parts = []
+        if fwd:
+            parts.append(triples.where(F.col("p").isin(fwd)).select(
+                F.col("s").alias(src), F.col("o").alias(dst)))
+        if inv:
+            parts.append(triples.where(F.col("p").isin(inv)).select(
+                F.col("o").alias(src), F.col("s").alias(dst)))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
     oa, oz = out_cols
-    df = triples.where(F.col("p") == preds[0]).select(
-        F.col("s").alias(oa), F.col("o").alias("_n"))
-    for p in preds[1:]:
-        hop = triples.where(F.col("p") == p).select(
-            F.col("s").alias("_n"), F.col("o").alias("_m"))
-        df = df.join(hop, "_n").select(
+    df = _hop(preds[0], oa, "_n")
+    for spec in preds[1:]:
+        df = df.join(_hop(spec, "_n", "_m"), "_n").select(
             oa, F.col("_m").alias("_n"))
     return df.select(oa, F.col("_n").alias(oz)).distinct()
 
@@ -627,6 +651,88 @@ def triple_pr(
         F.when(F.col("n_expected") > 0,
                F.expr(ppm.format(m="n_matched", n="n_expected")))
         .otherwise(F.lit(0)).cast("long").alias("recall_ppm"))
+
+
+def sameas_closure(
+    triples: DataFrame,
+    sameas_pred: str = "http://www.w3.org/2002/07/owl#sameAs",
+    max_iter: int = 25,
+) -> DataFrame:
+    """owl:sameAs entity resolution: compute the transitive-
+    symmetric closure of the graph's sameAs statements and rewrite
+    every remaining triple onto each node's CANONICAL identifier —
+    the KG-construction step that merges duplicate entity IRIs
+    (the same customer minted under two id schemes, a vendor alias,
+    a redirect chain) into one node before downstream queries.
+    Canonical = minimum node id per connected component of the
+    undirected sameAs graph, the same deterministic min-label rule
+    as :func:`serd_spark.operators.dedup.dup_clusters`, which this
+    reuses.  The sameAs statements themselves are consumed (they
+    are identity bookkeeping, not data), and the rewrite dedups:
+    two aliases asserting the same fact collapse to ONE canonical
+    triple — RDF graphs are triple sets.
+
+    Output: (s, p, o) distinct, every s and o canonicalized.
+
+    Scale shape: closure runs on the sameAs SUBGRAPH only (alias
+    edges are a tiny fraction of any real corpus — identity chains,
+    not data), converging in O(chain diameter) label-propagation
+    rounds with localCheckpoint lineage truncation per round.  The
+    rewrite is two hash joins of the corpus against the alias→canon
+    map, LEFT so non-aliased nodes pass through without a lookup
+    miss penalty; the map is component-sized, so AQE will broadcast
+    it when small and shuffle-join when an adversarial corpus makes
+    it big.  Nothing collects."""
+    from serd_spark.operators.dedup import dup_clusters
+
+    sames = triples.where(F.col("p") == sameas_pred)
+    rest = triples.where(F.col("p") != sameas_pred)
+    canon = dup_clusters(
+        sames.select(F.col("s").alias("doc_a"),
+                     F.col("o").alias("doc_b")),
+        max_iter=max_iter,
+    ).select(F.col("doc_id").alias("_node"),
+             F.col("cluster_id").alias("_canon"))
+    out = (
+        rest
+        .join(canon.select(F.col("_node").alias("s"),
+                           F.col("_canon").alias("_cs")), "s", "left")
+        .join(canon.select(F.col("_node").alias("o"),
+                           F.col("_canon").alias("_co")), "o", "left")
+        .select(
+            F.coalesce(F.col("_cs"), F.col("s")).alias("s"),
+            F.col("p"),
+            F.coalesce(F.col("_co"), F.col("o")).alias("o"))
+    )
+    return out.distinct()
+
+
+def graph_delta(
+    old: DataFrame, new: DataFrame, keys: tuple = ("s", "p", "o"),
+) -> DataFrame:
+    """Incremental-maintenance delta between two KG snapshots: the
+    triples to retract and the triples to assert so that ``old``
+    becomes ``new`` — what a nightly pipeline publishes instead of
+    the full graph, and what a streaming consumer applies.  Set
+    semantics on ``keys`` (duplicates collapse; RDF graphs are
+    triple sets).  Output: (*keys, change) with change ∈
+    {'add', 'del'} — 'add' rows are in ``new`` only, 'del' rows in
+    ``old`` only; unchanged triples are absent, so the delta is
+    |additions| + |retractions| rows, not corpus-sized.
+
+    Scale shape: two LEFT ANTI hash joins on the triple key (each
+    side dedups map-side first).  Anti joins materialize nothing
+    from the probe side's payload and AQE converts either to a
+    broadcast when one snapshot's novel fraction is small — the
+    common nightly case.  Nothing collects."""
+    ks = list(keys)
+    added = new.select(ks).distinct().join(
+        old.select(ks).distinct(), ks, "left_anti").withColumn(
+        "change", F.lit("add"))
+    removed = old.select(ks).distinct().join(
+        new.select(ks).distinct(), ks, "left_anti").withColumn(
+        "change", F.lit("del"))
+    return added.unionByName(removed)
 
 
 def kg_entity_link_pipeline(

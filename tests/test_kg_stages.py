@@ -503,3 +503,76 @@ def test_triple_pr_identity_and_empty(spark):
     r3 = triple_pr(g, empty).collect()[0]
     assert (r3.n_emitted, r3.n_expected,
             r3.precision_ppm, r3.recall_ppm) == (2, 0, 0, 0)
+
+
+def test_bgp_path_inverse_and_alternation(spark):
+    """``^p`` traverses object→subject and a list hop is SPARQL
+    alternation ``(p1|p2)`` where each alternative keeps its own
+    direction — ``["in", "^member"]`` reaches a nation from both a
+    forward-stored supplier edge and a reverse-stored customer
+    edge in ONE hop."""
+    from serd_spark.operators.kg import bgp_path
+
+    t = _triples_df(spark, [
+        ("n1", "member", "c1"),          # nation→cust (reverse store)
+        ("s1", "in", "n1"),              # supp→nation (forward)
+        ("n1", "region", "r1"),
+        ("n2", "member", "c2"), ("n2", "region", "r2"),
+    ])
+    inv = {(r.a, r.z) for r in bgp_path(
+        t, ["^member", "region"]).collect()}
+    assert inv == {("c1", "r1"), ("c2", "r2")}
+    alt = {(r.a, r.z) for r in bgp_path(
+        t, [["in", "^member"], "region"]).collect()}
+    assert alt == {("c1", "r1"), ("c2", "r2"), ("s1", "r1")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        bgp_path(t, [[], "region"])
+
+
+def test_sameas_closure_merges_chains(spark):
+    """A sameAs CHAIN (alt→alias→cust) collapses to one canonical
+    (lexicographic min) id; data triples asserted under different
+    aliases of the same entity dedup to ONE canonical triple; the
+    sameAs statements themselves are consumed; non-aliased nodes
+    pass through; object-side aliases rewrite too."""
+    from serd_spark.operators.kg import sameas_closure
+
+    SA = "http://www.w3.org/2002/07/owl#sameAs"
+    t = _triples_df(spark, [
+        ("b_alias", SA, "c_cust"),       # chain link 1
+        ("a_alt", SA, "b_alias"),        # chain link 2 (transitive)
+        ("c_cust", "owns", "x"),         # same fact under 2 aliases:
+        ("b_alias", "owns", "x"),        #   must collapse to one row
+        ("o1", "ref", "a_alt"),          # object-side rewrite
+        ("plain", "p", "q"),             # untouched passthrough
+    ])
+    got = {(r.s, r.p, r.o) for r in sameas_closure(t).collect()}
+    assert got == {
+        ("a_alt", "owns", "x"),          # canonical = min of chain
+        ("o1", "ref", "a_alt"),
+        ("plain", "p", "q"),
+    }
+
+
+def test_graph_delta_add_del(spark):
+    """The delta holds exactly the asserted and retracted triples
+    (set semantics — duplicate rows count once), and unchanged
+    triples are absent."""
+    from serd_spark.operators.kg import graph_delta
+
+    old = _triples_df(spark, [
+        ("s1", "p", "a"), ("s2", "p", "b"), ("s2", "p", "b"),
+        ("s3", "p", "c"),
+    ])
+    new = _triples_df(spark, [
+        ("s1", "p", "a"),                 # unchanged
+        ("s2", "p", "B"),                 # changed object: del+add
+        ("s4", "p", "d"),                 # new
+    ])
+    got = {(r.s, r.p, r.o, r.change)
+           for r in graph_delta(old, new).collect()}
+    assert got == {
+        ("s2", "p", "B", "add"), ("s4", "p", "d", "add"),
+        ("s2", "p", "b", "del"), ("s3", "p", "c", "del"),
+    }
