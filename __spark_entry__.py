@@ -3858,6 +3858,125 @@ def _o_kg_delta(_: str) -> str:
     """
 
 
+def _q_kg_named_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NQuads named-graph parse under the exact gate — the first
+    driver row exercising the ``g`` column AND the O-3 syntax
+    dispatch (``parse_documents(syntax="nquads")`` routes to the
+    vectorized line parser; the Turtle grammar would quarantine
+    every graph label).  Each order's statement is published into
+    the graph named after its status; every 4th order also asserts
+    a default-graph (no label) triple.  The census groups by graph
+    — NULL g = the default graph — counting statements and distinct
+    subjects; the oracle reconstructs both from orders directly."""
+    from serd_spark.operators.parse import (
+        parse_documents,
+        split_quarantine,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lit("<urn:order:"), "o_orderkey",
+        F.lit("> <urn:schema:cust> <urn:cust:"), "o_custkey",
+        F.lit("> <urn:graph:"), "o_orderstatus", F.lit("> ."),
+        F.when(F.col("o_orderkey") % 4 == 0, F.concat(
+            F.lit("\n<urn:order:"), "o_orderkey",
+            F.lit("> <urn:schema:prio> \""), "o_orderpriority",
+            F.lit("\" ."))).otherwise(F.lit("")))
+    tdf = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        .alias("conv_id"),
+        F.col("o_orderkey").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"), line.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    t, _ = split_quarantine(parse_documents(tdf, syntax="nquads"))
+    return t.groupBy(
+        F.coalesce(F.col("g"), F.lit("default")).alias("graph_iri")
+    ).agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.countDistinct("s").cast("long").alias("n_subjects"))
+
+
+def _o_kg_named_graphs(_: str) -> str:
+    return """
+    SELECT 'urn:graph:' || o_orderstatus AS graph_iri,
+           CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_subjects
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'default',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 4 = 0
+    """
+
+
+def _q_kg_rdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS forward-chaining materialization under the exact gate:
+    a 5-statement ontology (cust ⊑p party with domain Order /
+    range Customer, and the class chain Customer ⊑ Agent ⊑ Party)
+    over the order→customer statements.  The entailed graph the
+    oracle must reproduce: every original + the rdfs7 property
+    lift, the rdfs2/3 type assertions, and the TRANSITIVE rdfs9
+    class lifts — enumerated in SQL by construction, no inference
+    machinery on the oracle side."""
+    from serd_spark.operators.kg import (
+        NS_RDFS,
+        rdfs_entailment,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    data = orders.select(
+        F.concat(F.lit("urn:order:"), "o_orderkey").alias("s"),
+        F.lit("urn:schema:cust").alias("p"),
+        F.concat(F.lit("urn:cust:"), "o_custkey").alias("o"))
+    tbox = spark.createDataFrame([
+        ("urn:schema:cust", NS_RDFS + "subPropertyOf",
+         "urn:schema:party"),
+        ("urn:schema:cust", NS_RDFS + "domain", "urn:class:Order"),
+        ("urn:schema:cust", NS_RDFS + "range", "urn:class:Customer"),
+        ("urn:class:Customer", NS_RDFS + "subClassOf",
+         "urn:class:Agent"),
+        ("urn:class:Agent", NS_RDFS + "subClassOf",
+         "urn:class:Party"),
+    ], "s string, p string, o string")
+    return rdfs_entailment(data.unionByName(tbox))
+
+
+def _o_kg_rdfs(_: str) -> str:
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    ty = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return f"""
+    WITH custs AS (SELECT DISTINCT o_custkey FROM orders)
+    SELECT DISTINCT * FROM (
+        SELECT 'urn:order:' || o_orderkey AS s,
+               'urn:schema:cust' AS p,
+               'urn:cust:' || o_custkey AS o FROM orders
+        UNION ALL
+        SELECT 'urn:order:' || o_orderkey, 'urn:schema:party',
+               'urn:cust:' || o_custkey FROM orders
+        UNION ALL
+        SELECT 'urn:order:' || o_orderkey, '{ty}',
+               'urn:class:Order' FROM orders
+        UNION ALL
+        SELECT 'urn:cust:' || o_custkey, '{ty}', cls
+        FROM custs, (VALUES ('urn:class:Customer'),
+                            ('urn:class:Agent'),
+                            ('urn:class:Party')) c(cls)
+        UNION ALL
+        SELECT * FROM (VALUES
+            ('urn:schema:cust', '{rdfs}subPropertyOf',
+             'urn:schema:party'),
+            ('urn:schema:cust', '{rdfs}domain', 'urn:class:Order'),
+            ('urn:schema:cust', '{rdfs}range', 'urn:class:Customer'),
+            ('urn:class:Customer', '{rdfs}subClassOf',
+             'urn:class:Agent'),
+            ('urn:class:Agent', '{rdfs}subClassOf',
+             'urn:class:Party')) t(s, p, o)
+    )
+    """
+
+
 def _o_kg_turtle_expand(_: str) -> str:
     return """
     SELECT 'urn:order:' || o_orderkey AS s,
@@ -3992,6 +4111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_alt": _q_kg_path_alt,
         "kg_sameas": _q_kg_sameas,
         "kg_delta": _q_kg_delta,
+        "kg_named_graphs": _q_kg_named_graphs,
+        "kg_rdfs": _q_kg_rdfs,
         # -- (3) round-5 driver-green ----------------------------------
         # (simhash_pairs and tfidf_cosine lead group 3 — both r5
         #  hash-green, both yielded their slots to the never-verified
@@ -4120,6 +4241,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_alt": _o_kg_path_alt(sf),
         "kg_sameas": _o_kg_sameas(sf),
         "kg_delta": _o_kg_delta(sf),
+        "kg_named_graphs": _o_kg_named_graphs(sf),
+        "kg_rdfs": _o_kg_rdfs(sf),
         "prefix_jaccard": _o_prefix_jaccard(sf),
         "tfidf_cosine": _o_tfidf_cosine(sf),
         "shipping_priority": _o_shipping_priority(sf),

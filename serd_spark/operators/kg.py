@@ -735,6 +735,115 @@ def graph_delta(
     return added.unionByName(removed)
 
 
+NS_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def rdfs_entailment(
+    triples: DataFrame,
+    rdf_type: str = RDF_TYPE,
+    subclass: str = NS_RDFS + "subClassOf",
+    subprop: str = NS_RDFS + "subPropertyOf",
+    domain: str = NS_RDFS + "domain",
+    range_: str = NS_RDFS + "range",
+    max_tbox: int = 1_000_000,
+) -> DataFrame:
+    """Forward-chaining RDFS materialization over the ρDF fragment —
+    the schema-inference step of KG construction that makes the
+    ontology's implications queryable as plain triples: rdfs7
+    (``p subPropertyOf q`` lifts every ``(s,p,o)`` to ``(s,q,o)``),
+    rdfs2/3 (``p domain/range C`` types the subject/object of every
+    ``p`` statement), and rdfs9 (``C subClassOf D`` lifts every
+    typed node to its supertypes).  Sub-class and sub-property
+    chains close TRANSITIVELY; domain/range fire on declared AND
+    inferred properties, and subClassOf lifts declared AND inferred
+    types — the standard fixpoint for this fragment, reached in one
+    ordered pass (rdfs7 → rdfs2/3 → rdfs9) because the closures are
+    precomputed, no iteration over the corpus.  Output: the input
+    plus every entailed triple, distinct.
+
+    Scale shape: the TBox (the four schema predicates) is
+    ONTOLOGY-sized — a human wrote it — so it collects once to the
+    driver (guarded by ``max_tbox``, same justification as the
+    entity-dictionary broadcast at kg.py:184), its reflexive-
+    transitive closures compute in pure Python, and the closure
+    maps broadcast.  The corpus side is then three broadcast-join
+    projections plus a union and ONE distinct — the corpus never
+    shuffles except for that final set-dedup, and no rule ever
+    joins corpus against corpus."""
+    spark = triples.sparkSession
+    tbox_preds = [subclass, subprop, domain, range_]
+    tbox_rows = (triples.where(F.col("p").isin(tbox_preds))
+                 .select("s", "p", "o").distinct().limit(max_tbox + 1)
+                 .collect())
+    if len(tbox_rows) > max_tbox:
+        raise ValueError(
+            f"TBox exceeds max_tbox={max_tbox}: the schema predicates "
+            "are expected to be ontology-sized; raise the cap only if "
+            "the ontology really is that big")
+
+    def _closure(pred: str) -> list:
+        # reflexive-transitive closure of the (s, o) pairs under
+        # `pred`: BFS per source over the ontology-sized edge map.
+        adj: dict = {}
+        for r in tbox_rows:
+            if r.p == pred:
+                adj.setdefault(r.s, set()).add(r.o)
+        out = []
+        for src in adj:
+            seen, stack = {src}, [src]
+            while stack:
+                for nxt in adj.get(stack.pop(), ()):
+                    if nxt not in seen:
+                        seen.add(nxt)
+                        stack.append(nxt)
+            out.extend((src, dst) for dst in sorted(seen - {src}))
+        return out
+
+    def _map_df(pairs: list, a: str, b: str):
+        if not pairs:
+            return None
+        return F.broadcast(
+            spark.createDataFrame(pairs, f"{a} string, {b} string"))
+
+    prop_sup = _map_df(_closure(subprop), "p", "_sup")
+    cls_sup = _map_df(_closure(subclass), "_cls", "_sup")
+    dom = _map_df(
+        sorted({(r.s, r.o) for r in tbox_rows if r.p == domain}),
+        "p", "_cls")
+    rng = _map_df(
+        sorted({(r.s, r.o) for r in tbox_rows if r.p == range_}),
+        "p", "_cls")
+
+    out = triples.select("s", "p", "o")
+    # rdfs7: lift statements through the subPropertyOf closure.
+    if prop_sup is not None:
+        lifted = (triples.join(prop_sup, "p")
+                  .select("s", F.col("_sup").alias("p"), "o"))
+        out = out.unionByName(lifted)
+    # rdfs2/3 fire on declared and rdfs7-inferred statements alike.
+    stmts = out
+    if dom is not None:
+        out = out.unionByName(
+            stmts.join(dom, "p").select(
+                "s", F.lit(rdf_type).alias("p"),
+                F.col("_cls").alias("o")))
+    if rng is not None:
+        out = out.unionByName(
+            stmts.join(rng, "p").select(
+                F.col("o").alias("s"), F.lit(rdf_type).alias("p"),
+                F.col("_cls").alias("o")))
+    # rdfs9: lift every (declared or inferred) type to supertypes.
+    if cls_sup is not None:
+        typed = out.where(F.col("p") == rdf_type)
+        out = out.unionByName(
+            typed.join(cls_sup,
+                       typed["o"] == cls_sup["_cls"])
+            .select("s", F.lit(rdf_type).alias("p"),
+                    F.col("_sup").alias("o")))
+    return out.distinct()
+
+
 def kg_entity_link_pipeline(
     turns: DataFrame, entities: DataFrame, text_col: str = "text",
     max_gram: int = 2, key_cols: tuple = ("conv_id", "turn_idx"),

@@ -134,7 +134,20 @@ def parse_documents(
     base_template: str = DEFAULT_BASE_TEMPLATE,
 ) -> DataFrame:
     """Default path: applyInPandas per conv_id, turns ordered by
-    turn_idx inside the UDF (north rule's stable turn ordering)."""
+    turn_idx inside the UDF (north rule's stable turn ordering).
+
+    Syntax dispatch (reference: serd O-3, ``serd_reader_start`` picks
+    the reader by syntax): the stateful Turtle/TriG grammar parses
+    per-conversation here; ``ntriples``/``nquads`` are LINE
+    grammars with no cross-line state, so they route to
+    :func:`parse_ntriples_lines` — the shuffle-free vectorized path —
+    which also handles NQ graph labels the Turtle grammar has no
+    production for.  (NT statement indices are the deterministic
+    ``(turn_idx << 20) | line_no`` rather than a per-conv running
+    count; both orderings are stable.)"""
+    if syntax in ("ntriples", "nquads"):
+        return parse_ntriples_lines(
+            transcripts, nquads=(syntax == "nquads"), lax=lax)
 
     def parse_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx")
@@ -245,7 +258,15 @@ def parse_documents_chunked(
 ) -> DataFrame:
     """Skew-splitting path.  ``chunks`` may be passed pre-computed
     (e.g. read back from a stage checkpoint) to avoid recomputing the
-    assemble pass for the patch aggregate and the parse."""
+    assemble pass for the patch aggregate and the parse.
+
+    NT/NQ dispatch mirrors :func:`parse_documents`: line grammars
+    have no cross-chunk state to patch, so chunking buys nothing —
+    the line path IS the skew-proof plan (a mega-conversation's
+    lines spread across partitions for free)."""
+    if syntax in ("ntriples", "nquads"):
+        return parse_ntriples_lines(
+            transcripts, nquads=(syntax == "nquads"), lax=lax)
     if chunks is None:
         # chunks feeds two plan branches (patch aggregate + parse);
         # persist so the assemble groupBy runs once.

@@ -576,3 +576,50 @@ def test_graph_delta_add_del(spark):
         ("s2", "p", "B", "add"), ("s4", "p", "d", "add"),
         ("s2", "p", "b", "del"), ("s3", "p", "c", "del"),
     }
+
+
+def test_rdfs_entailment_rules(spark):
+    """rdfs7 lifts statements through the subPropertyOf closure,
+    rdfs2/3 type the subject/object of declared AND inferred
+    statements, rdfs9 lifts types through the TRANSITIVE subClassOf
+    closure; originals (TBox included) pass through and the result
+    is a set."""
+    from serd_spark.operators.kg import (
+        NS_RDFS,
+        RDF_TYPE,
+        rdfs_entailment,
+    )
+
+    SC, SP = NS_RDFS + "subClassOf", NS_RDFS + "subPropertyOf"
+    DOM, RNG = NS_RDFS + "domain", NS_RDFS + "range"
+    tbox = [
+        ("cust", SP, "party"),
+        ("cust", DOM, "Order"), ("cust", RNG, "Customer"),
+        ("Customer", SC, "Agent"), ("Agent", SC, "Party"),
+    ]
+    data = [("o1", "cust", "c1"), ("x", "other", "y")]
+    t = _triples_df(spark, tbox + data)
+    got = {(r.s, r.p, r.o) for r in rdfs_entailment(t).collect()}
+    assert got == set(tbox) | set(data) | {
+        ("o1", "party", "c1"),           # rdfs7
+        ("o1", RDF_TYPE, "Order"),       # rdfs2
+        ("c1", RDF_TYPE, "Customer"),    # rdfs3
+        ("c1", RDF_TYPE, "Agent"),       # rdfs9 (1 hop)
+        ("c1", RDF_TYPE, "Party"),       # rdfs9 (transitive)
+    }
+
+
+def test_rdfs_entailment_no_tbox_and_cap(spark):
+    """A corpus with no schema triples passes through unchanged; a
+    TBox larger than max_tbox raises instead of collecting it."""
+    import pytest as _pytest
+
+    from serd_spark.operators.kg import NS_RDFS, rdfs_entailment
+
+    data = _triples_df(spark, [("a", "p", "b"), ("a", "p", "b")])
+    got = {(r.s, r.p, r.o) for r in rdfs_entailment(data).collect()}
+    assert got == {("a", "p", "b")}
+    big = _triples_df(spark, [
+        (f"c{i}", NS_RDFS + "subClassOf", f"d{i}") for i in range(5)])
+    with _pytest.raises(ValueError, match="max_tbox"):
+        rdfs_entailment(big, max_tbox=3)

@@ -316,3 +316,35 @@ def test_conv_metrics_single_pass_equivalence(spark):
          conv_metrics(*split_quarantine(parsed)).collect()}
     b = {tuple(r) for r in conv_metrics_from_parsed(parsed).collect()}
     assert a == b and a
+
+
+def test_syntax_dispatch_routes_nq_to_line_parser(spark):
+    """parse_documents / parse_documents_chunked with an NT/NQ
+    syntax route to the line parser (serd O-3 dispatch): a quad's
+    graph label lands in ``g`` — the Turtle grammar has no
+    production for it and would quarantine the line — and the
+    default graph stays NULL."""
+    from serd_spark.operators.parse import (
+        parse_documents,
+        parse_documents_chunked,
+        split_quarantine,
+    )
+
+    tdf = spark.createDataFrame(
+        [("c1", 0, "user",
+          "<urn:s:1> <urn:p> <urn:o:1> <urn:g:x> .\n"
+          "<urn:s:2> <urn:p> <urn:o:2> .", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string")
+    for fn in (parse_documents, parse_documents_chunked):
+        kw = ({"syntax": "nquads"} if fn is parse_documents
+              else {"syntax": "nquads", "chunk_turns": 4})
+        t, e = split_quarantine(fn(tdf, **kw))
+        got = {(r.s, r.g) for r in t.collect()}
+        assert got == {("urn:s:1", "urn:g:x"), ("urn:s:2", None)}
+        assert e.count() == 0
+    # ntriples dispatch REJECTS the graph label instead.
+    t2, e2 = split_quarantine(
+        parse_documents(tdf, syntax="ntriples"))
+    assert e2.count() == 1
+    assert {r.s for r in t2.collect()} == {"urn:s:2"}
