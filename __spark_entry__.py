@@ -3972,6 +3972,8 @@ def _o_kg_rdfs(_: str) -> str:
             ('urn:class:Customer', '{rdfs}subClassOf',
              'urn:class:Agent'),
             ('urn:class:Agent', '{rdfs}subClassOf',
+             'urn:class:Party'),
+            ('urn:class:Customer', '{rdfs}subClassOf',
              'urn:class:Party')) t(s, p, o)
     )
     """

@@ -58,6 +58,8 @@ HEADLINE = [
     "interval_join", "lm_heldout",
     "kg_star_optional", "kg_2hop_bucketed", "kg_reachability",
     "kg_not_exists", "kg_char_sets",
+    "kg_path3", "kg_values", "kg_triple_pr", "kg_path_alt",
+    "kg_sameas", "kg_delta", "kg_named_graphs", "kg_rdfs",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended

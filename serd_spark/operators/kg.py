@@ -759,8 +759,11 @@ def rdfs_entailment(
     inferred properties, and subClassOf lifts declared AND inferred
     types — the standard fixpoint for this fragment, reached in one
     ordered pass (rdfs7 → rdfs2/3 → rdfs9) because the closures are
-    precomputed, no iteration over the corpus.  Output: the input
-    plus every entailed triple, distinct.
+    precomputed, no iteration over the corpus.  The schema-level
+    closure triples themselves are emitted too (rdfs5/rdfs11 —
+    ``p ⊑ r`` from ``p ⊑ q ⊑ r``, likewise subClassOf), so the
+    output is the full fixpoint, not just its ABox part.  Output:
+    the input plus every entailed triple, distinct.
 
     Scale shape: the TBox (the four schema predicates) is
     ONTOLOGY-sized — a human wrote it — so it collects once to the
@@ -806,8 +809,9 @@ def rdfs_entailment(
         return F.broadcast(
             spark.createDataFrame(pairs, f"{a} string, {b} string"))
 
-    prop_sup = _map_df(_closure(subprop), "p", "_sup")
-    cls_sup = _map_df(_closure(subclass), "_cls", "_sup")
+    sp_pairs, sc_pairs = _closure(subprop), _closure(subclass)
+    prop_sup = _map_df(sp_pairs, "p", "_sup")
+    cls_sup = _map_df(sc_pairs, "_cls", "_sup")
     dom = _map_df(
         sorted({(r.s, r.o) for r in tbox_rows if r.p == domain}),
         "p", "_cls")
@@ -816,6 +820,13 @@ def rdfs_entailment(
         "p", "_cls")
 
     out = triples.select("s", "p", "o")
+    # rdfs5/rdfs11: the transitive schema closures are themselves
+    # entailed triples (driver-built literal rows, ontology-sized).
+    closure_rows = ([(a, subprop, b) for a, b in sp_pairs]
+                    + [(a, subclass, b) for a, b in sc_pairs])
+    if closure_rows:
+        out = out.unionByName(spark.createDataFrame(
+            closure_rows, "s string, p string, o string"))
     # rdfs7: lift statements through the subPropertyOf closure.
     if prop_sup is not None:
         lifted = (triples.join(prop_sup, "p")

@@ -606,6 +606,7 @@ def test_rdfs_entailment_rules(spark):
         ("c1", RDF_TYPE, "Customer"),    # rdfs3
         ("c1", RDF_TYPE, "Agent"),       # rdfs9 (1 hop)
         ("c1", RDF_TYPE, "Party"),       # rdfs9 (transitive)
+        ("Customer", SC, "Party"),       # rdfs11 (schema closure)
     }
 
 
@@ -623,3 +624,156 @@ def test_rdfs_entailment_no_tbox_and_cap(spark):
         (f"c{i}", NS_RDFS + "subClassOf", f"d{i}") for i in range(5)])
     with _pytest.raises(ValueError, match="max_tbox"):
         rdfs_entailment(big, max_tbox=3)
+
+
+def _brute_rdfs(triples):
+    """Naive Python fixpoint over the ρDF rules — the oracle for the
+    Spark materialization on randomized graphs."""
+    from serd_spark.operators.kg import NS_RDFS, RDF_TYPE
+
+    SC, SP = NS_RDFS + "subClassOf", NS_RDFS + "subPropertyOf"
+    DOM, RNG = NS_RDFS + "domain", NS_RDFS + "range"
+    out = set(triples)
+    changed = True
+    while changed:
+        changed = False
+        new = set()
+        for (s, p, o) in out:
+            for (a, q, b) in out:
+                if q == SP and a == p:
+                    new.add((s, b, o))
+                if q == DOM and a == p:
+                    new.add((s, RDF_TYPE, b))
+                if q == RNG and a == p:
+                    new.add((o, RDF_TYPE, b))
+                if q == SC and p == RDF_TYPE and o == a:
+                    new.add((s, RDF_TYPE, b))
+                # rdfs5 / rdfs11: schema-chain transitivity
+                if p in (SP, SC) and q == p and o == a and s != b:
+                    new.add((s, p, b))
+        if not new <= out:
+            out |= new
+            changed = True
+    return out
+
+
+def test_rdfs_entailment_matches_bruteforce_random(spark):
+    """On seeded random graphs mixing schema and data triples —
+    including subclass/subproperty CHAINS and domain/range on
+    inferred properties — the one-pass broadcast materialization
+    equals the naive Python fixpoint.
+
+    (The naive rule engine also fires rules ON schema triples
+    themselves — e.g. subPropertyOf chains lifting rdfs predicates —
+    which the ρDF fragment excludes; the generator therefore never
+    makes an rdfs predicate the SUBJECT of another schema triple,
+    the standard separation in real ontologies.)"""
+    import random
+
+    from serd_spark.operators.kg import NS_RDFS, rdfs_entailment
+
+    SC, SP = NS_RDFS + "subClassOf", NS_RDFS + "subPropertyOf"
+    DOM, RNG = NS_RDFS + "domain", NS_RDFS + "range"
+    for seed in (7, 41, 1999):
+        rng = random.Random(seed)
+        props = [f"p{i}" for i in range(4)]
+        classes = [f"C{i}" for i in range(5)]
+        nodes = [f"n{i}" for i in range(8)]
+        tri = set()
+        for _ in range(rng.randint(2, 5)):
+            tri.add((rng.choice(props), SP, rng.choice(props)))
+        for _ in range(rng.randint(2, 5)):
+            tri.add((rng.choice(classes), SC, rng.choice(classes)))
+        for _ in range(rng.randint(1, 3)):
+            tri.add((rng.choice(props), DOM, rng.choice(classes)))
+        for _ in range(rng.randint(1, 3)):
+            tri.add((rng.choice(props), RNG, rng.choice(classes)))
+        for _ in range(rng.randint(5, 12)):
+            tri.add((rng.choice(nodes), rng.choice(props),
+                     rng.choice(nodes)))
+        got = {(r.s, r.p, r.o) for r in rdfs_entailment(
+            _triples_df(spark, sorted(tri))).collect()}
+        assert got == _brute_rdfs(tri), f"seed {seed}"
+
+
+def test_sameas_closure_matches_bruteforce_random(spark):
+    """On seeded random alias graphs (chains, cycles, diamonds) the
+    distributed closure+rewrite equals a naive union-find rewrite."""
+    import random
+
+    from serd_spark.operators.kg import sameas_closure
+
+    SA = "http://www.w3.org/2002/07/owl#sameAs"
+    for seed in (3, 77, 4242):
+        rng = random.Random(seed)
+        nodes = [f"e{i}" for i in range(10)]
+        sames = {(rng.choice(nodes), rng.choice(nodes))
+                 for _ in range(rng.randint(3, 8))}
+        sames = {(a, b) for a, b in sames if a != b}
+        data = {(rng.choice(nodes), f"q{rng.randint(0, 2)}",
+                 rng.choice(nodes)) for _ in range(rng.randint(4, 10))}
+        # union-find reference
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in sames:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical = min MEMBER of the component (only nodes that
+        # appear in a sameAs statement are aliased)
+        in_sa = {n for ab in sames for n in ab}
+        members: dict = {}
+        for n in in_sa:
+            members.setdefault(find(n), set()).add(n)
+        canon = {n: min(members[find(n)]) for n in in_sa}
+        expected = {(canon.get(s, s), p, canon.get(o, o))
+                    for (s, p, o) in data}
+        tri = sorted(data | {(a, SA, b) for a, b in sames})
+        got = {(r.s, r.p, r.o) for r in sameas_closure(
+            _triples_df(spark, tri)).collect()}
+        assert got == expected, f"seed {seed}"
+
+
+def test_bgp_path_matches_bruteforce_random(spark):
+    """Random graphs × random hop specs (forward / inverse /
+    alternation): the chained-join path equals naive enumeration."""
+    import random
+
+    from serd_spark.operators.kg import bgp_path
+
+    for seed in (11, 222, 3333):
+        rng = random.Random(seed)
+        nodes = [f"v{i}" for i in range(9)]
+        preds = ["e", "f", "g"]
+        tri = {(rng.choice(nodes), rng.choice(preds),
+                rng.choice(nodes)) for _ in range(25)}
+        spec = []
+        for _ in range(rng.randint(1, 3)):
+            arm = [rng.choice([p, "^" + p]) for p in
+                   rng.sample(preds, rng.randint(1, 2))]
+            spec.append(arm[0] if len(arm) == 1 else arm)
+
+        def hop_pairs(h):
+            alts = [h] if isinstance(h, str) else h
+            out = set()
+            for a in alts:
+                if a.startswith("^"):
+                    out |= {(o, s) for (s, p, o) in tri if p == a[1:]}
+                else:
+                    out |= {(s, o) for (s, p, o) in tri if p == a}
+            return out
+
+        exp = hop_pairs(spec[0])
+        for h in spec[1:]:
+            nxt = hop_pairs(h)
+            exp = {(a, c) for (a, b) in exp for (b2, c) in nxt
+                   if b == b2}
+        got = {(r.a, r.z) for r in bgp_path(
+            _triples_df(spark, sorted(tri)), spec).collect()}
+        assert got == exp, f"seed {seed} spec {spec}"
