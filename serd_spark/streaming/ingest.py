@@ -533,3 +533,53 @@ def start_streaming_interval_enrich(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_graph_delta(
+    stream: DataFrame, snapshot: DataFrame, sink,
+    checkpoint_path: str | None = None, available_now: bool = True,
+):
+    """Streaming KG ingestion with SET semantics: each micro-batch of
+    asserted triples emits only the rows genuinely NEW relative to
+    the baseline ``snapshot`` plus everything already streamed — the
+    ``foreachBatch`` form of :func:`serd_spark.operators.kg.
+    graph_delta` for an assert-only stream (RDF graphs are triple
+    sets: re-asserting an existing fact is a no-op, and a
+    downstream consumer applying the emitted 'add' rows to the
+    snapshot reconstructs the full graph exactly).  The union of
+    all batch outputs equals the batch operator's 'add' arm on the
+    final snapshot, regardless of how the stream was split —
+    test-enforced.
+
+    State = the accumulated triple set, maintained as a
+    localCheckpointed DataFrame re-materialized per batch (lineage
+    truncation, the iterative-operator pattern).  Within each batch
+    the candidate rows dedup map-side, then LEFT ANTI join the
+    state on the triple key.  At 100 TB the state table IS the
+    materialized output (an append-only triple table bucketed on
+    the join key — ``operators.materialize.write_bucketed_triples``
+    layout), so the anti-join plans exchange-free on the state side
+    and per-batch cost is ∝ batch size, not graph size; this
+    in-memory form keeps the same join shape with localCheckpoint
+    standing in for the bucketed table, the same stand-in the BGP
+    family's tests use.
+
+    ``sink(adds_df, batch_id)`` receives each batch's (s, p, o,
+    change='add') rows.  Returns the started StreamingQuery."""
+    ks = ["s", "p", "o"]
+    state = {"seen": snapshot.select(ks).distinct().localCheckpoint()}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cand = batch_df.select(ks).distinct()
+        new = cand.join(state["seen"], ks, "left_anti") \
+            .localCheckpoint()
+        sink(new.withColumn("change", F.lit("add")), batch_id)
+        state["seen"] = state["seen"].unionByName(new) \
+            .localCheckpoint()
+
+    writer = stream.writeStream.foreachBatch(handle)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2270,3 +2270,52 @@ def test_simhash_dropped_buckets_audit(spark):
            for r in simhash_pairs(docs, max_bucket=32).collect()}
     assert {(a, b) for a in range(20) for b in range(20) if a < b} \
         <= got
+
+
+def test_streaming_graph_delta_equals_batch(spark, tmpdir_path):
+    """Streaming assert-only graph delta over a replayed multi-file
+    stream: the union of per-batch 'add' rows equals the batch
+    graph_delta 'add' arm against the final graph, no triple is
+    emitted twice (set semantics across batches), and re-asserted
+    snapshot triples emit nothing."""
+    from serd_spark.operators.kg import graph_delta
+    from serd_spark.streaming.ingest import start_streaming_graph_delta
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet")
+
+    def tri(df):
+        return df.select(
+            F.concat(F.lit("urn:order:"), "o_orderkey").alias("s"),
+            F.lit("urn:schema:cust").alias("p"),
+            F.concat(F.lit("urn:cust:"), "o_custkey").alias("o"))
+
+    snapshot = tri(orders.where(F.col("o_orderkey") % 3 == 0))
+    # the stream re-asserts HALF the snapshot (must emit nothing)
+    # and asserts every non-snapshot triple, some twice (dup files).
+    arriving = tri(orders).unionByName(
+        tri(orders.where(F.col("o_orderkey") % 6 == 0)))
+
+    inp = os.path.join(tmpdir_path, "gdin")
+    ckpt = os.path.join(tmpdir_path, "gdckpt")
+    arriving.repartition(5).write.parquet(inp)
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inp)
+    )
+    got: list[tuple] = []
+
+    def sink(adds, batch_id):
+        for r in adds.collect():
+            assert r.change == "add"
+            got.append((r.s, r.p, r.o))
+
+    q = start_streaming_graph_delta(stream, snapshot, sink,
+                                    checkpoint_path=ckpt)
+    q.awaitTermination(180)
+
+    assert len(got) == len(set(got)), "a triple was emitted twice"
+    want = {(r.s, r.p, r.o) for r in graph_delta(
+        snapshot, tri(orders)).where(F.col("change") == "add")
+        .collect()}
+    assert set(got) == want and want
