@@ -3858,6 +3858,81 @@ def _o_kg_delta(_: str) -> str:
     """
 
 
+def _q_kg_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer half of incremental maintenance under the gate:
+    compute the add/del delta between two snapshots (old misses
+    every 7th order, new misses every 5th) and APPLY it back to the
+    old snapshot — the result must be exactly the new snapshot, so
+    the oracle is one enumerable filter, while the Spark side
+    exercises graph_delta ∘ apply_delta end to end."""
+    from serd_spark.operators.kg import apply_delta, graph_delta
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def snap(df):
+        return df.select(
+            F.concat(F.lit("urn:order:"), "o_orderkey").alias("s"),
+            F.lit("urn:schema:cust").alias("p"),
+            F.concat(F.lit("urn:cust:"), "o_custkey").alias("o"))
+
+    old = snap(orders.where(F.col("o_orderkey") % 7 != 0))
+    new = snap(orders.where(F.col("o_orderkey") % 5 != 0))
+    return apply_delta(old, graph_delta(old, new))
+
+
+def _o_kg_apply_delta(_: str) -> str:
+    return """
+    SELECT DISTINCT 'urn:order:' || o_orderkey AS s,
+           'urn:schema:cust' AS p,
+           'urn:cust:' || o_custkey AS o
+    FROM orders WHERE o_orderkey % 5 <> 0
+    """
+
+
+def _q_kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE over the orders graph: the entity cards of
+    every 50th customer (incoming arm — all statements pointing at
+    them) and every 97th order (outgoing arm — that order's
+    customer edge and status literal).  Status literals never
+    collide with seed IRIs, so the oracle enumerates the three
+    populations directly."""
+    from serd_spark.operators.kg import bgp_describe
+
+    orders = _t(spark, sf_dir, "orders")
+    triples = orders.select(
+        F.concat(F.lit("urn:order:"), "o_orderkey").alias("s"),
+        F.lit("urn:schema:cust").alias("p"),
+        F.concat(F.lit("urn:cust:"), "o_custkey").alias("o"),
+    ).unionByName(orders.select(
+        F.concat(F.lit("urn:order:"), "o_orderkey").alias("s"),
+        F.lit("urn:schema:status").alias("p"),
+        F.col("o_orderstatus").alias("o")))
+    seeds = orders.where(F.col("o_custkey") % 50 == 0).select(
+        F.concat(F.lit("urn:cust:"), "o_custkey").alias("node"),
+    ).unionByName(orders.where(F.col("o_orderkey") % 97 == 0).select(
+        F.concat(F.lit("urn:order:"), "o_orderkey").alias("node")))
+    return bgp_describe(triples, seeds)
+
+
+def _o_kg_describe(_: str) -> str:
+    return """
+    SELECT DISTINCT s, p, o FROM (
+        SELECT 'urn:order:' || o_orderkey AS s,
+               'urn:schema:cust' AS p,
+               'urn:cust:' || o_custkey AS o
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT 'urn:order:' || o_orderkey, 'urn:schema:status',
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT 'urn:order:' || o_orderkey, 'urn:schema:cust',
+               'urn:cust:' || o_custkey
+        FROM orders WHERE o_custkey % 50 = 0
+    )
+    """
+
+
 def _q_kg_named_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NQuads named-graph parse under the exact gate — the first
     driver row exercising the ``g`` column AND the O-3 syntax
@@ -4115,6 +4190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_delta": _q_kg_delta,
         "kg_named_graphs": _q_kg_named_graphs,
         "kg_rdfs": _q_kg_rdfs,
+        "kg_apply_delta": _q_kg_apply_delta,
+        "kg_describe": _q_kg_describe,
         # -- (3) round-5 driver-green ----------------------------------
         # (simhash_pairs and tfidf_cosine lead group 3 — both r5
         #  hash-green, both yielded their slots to the never-verified
@@ -4245,6 +4322,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_delta": _o_kg_delta(sf),
         "kg_named_graphs": _o_kg_named_graphs(sf),
         "kg_rdfs": _o_kg_rdfs(sf),
+        "kg_apply_delta": _o_kg_apply_delta(sf),
+        "kg_describe": _o_kg_describe(sf),
         "prefix_jaccard": _o_prefix_jaccard(sf),
         "tfidf_cosine": _o_tfidf_cosine(sf),
         "shipping_priority": _o_shipping_priority(sf),

@@ -521,7 +521,11 @@ def bgp_path(
     path (``^p`` traverses object→subject — "orders OF a customer"),
     or a list of either for ALTERNATION (``(p1|p2)`` — each
     alternative keeps its own direction, so ``["region",
-    "^nation"]`` is SPARQL's ``(region|^nation)``).
+    "^nation"]`` is SPARQL's ``(region|^nation)``).  A hop string
+    starting with ``!`` is a NEGATED property set
+    (``"!p1|^p2"`` ≡ SPARQL ``!(p1|^p2)``: forward edges whose
+    predicate is not p1, plus reverse edges whose predicate is not
+    p2; each direction's arm exists only if the set names it).
 
     Scale shape: each hop is one isin/equality predicate filter
     (pushed to the scan of a materialized triple table; an
@@ -538,18 +542,41 @@ def bgp_path(
         raise ValueError("preds must be non-empty")
 
     def _hop(spec, src: str, dst: str) -> DataFrame:
-        alts = [spec] if isinstance(spec, str) else list(spec)
-        if not alts:
-            raise ValueError("alternation hop must be non-empty")
-        fwd = [p for p in alts if not p.startswith("^")]
-        inv = [p[1:] for p in alts if p.startswith("^")]
         parts = []
-        if fwd:
-            parts.append(triples.where(F.col("p").isin(fwd)).select(
-                F.col("s").alias(src), F.col("o").alias(dst)))
-        if inv:
-            parts.append(triples.where(F.col("p").isin(inv)).select(
-                F.col("o").alias(src), F.col("s").alias(dst)))
+        if isinstance(spec, str) and spec.startswith("!"):
+            # SPARQL negated property set: ``!(p1|^p2|…)`` —
+            # forward edges whose predicate is NOT among the forward
+            # members, plus (iff the set has ^-members) reverse
+            # edges whose predicate is not among those.  The NOT-IN
+            # filter pushes to the scan like the positive isin.
+            items = [x for x in spec[1:].split("|") if x]
+            if not items:
+                raise ValueError("negated property set must be "
+                                 "non-empty: '!p1|^p2|…'")
+            fex = [p for p in items if not p.startswith("^")]
+            iex = [p[1:] for p in items if p.startswith("^")]
+            if fex:
+                parts.append(triples.where(~F.col("p").isin(fex))
+                             .select(F.col("s").alias(src),
+                                     F.col("o").alias(dst)))
+            if iex:
+                parts.append(triples.where(~F.col("p").isin(iex))
+                             .select(F.col("o").alias(src),
+                                     F.col("s").alias(dst)))
+        else:
+            alts = [spec] if isinstance(spec, str) else list(spec)
+            if not alts:
+                raise ValueError("alternation hop must be non-empty")
+            fwd = [p for p in alts if not p.startswith("^")]
+            inv = [p[1:] for p in alts if p.startswith("^")]
+            if fwd:
+                parts.append(triples.where(F.col("p").isin(fwd))
+                             .select(F.col("s").alias(src),
+                                     F.col("o").alias(dst)))
+            if inv:
+                parts.append(triples.where(F.col("p").isin(inv))
+                             .select(F.col("o").alias(src),
+                                     F.col("s").alias(dst)))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -733,6 +760,59 @@ def graph_delta(
         new.select(ks).distinct(), ks, "left_anti").withColumn(
         "change", F.lit("del"))
     return added.unionByName(removed)
+
+
+def apply_delta(
+    old: DataFrame, delta: DataFrame, keys: tuple = ("s", "p", "o"),
+) -> DataFrame:
+    """Apply an add/del delta (the :func:`graph_delta` output shape)
+    to a snapshot: retract the 'del' rows, assert the 'add' rows —
+    the consumer half of incremental KG maintenance, satisfying
+    ``apply_delta(old, graph_delta(old, new)) == new`` on triple
+    sets (test-enforced).  Output: distinct (*keys,).
+
+    Scale shape: one LEFT ANTI join against the (delta-sized, not
+    corpus-sized) retract set — AQE broadcasts it in the common
+    nightly case — then a union with the adds and one map-side-
+    combined distinct.  The snapshot is scanned once and never
+    self-joins."""
+    ks = list(keys)
+    dels = delta.where(F.col("change") == "del").select(ks)
+    adds = delta.where(F.col("change") == "add").select(ks)
+    return (old.select(ks).join(dels, ks, "left_anti")
+            .unionByName(adds).distinct())
+
+
+def bgp_describe(
+    triples: DataFrame, seeds, node_col: str = "node",
+    include_incoming: bool = True,
+) -> DataFrame:
+    """SPARQL ``DESCRIBE``: every triple mentioning any seed node —
+    the outgoing arm (seed as subject) plus, by default, the
+    incoming arm (seed as object) — the entity-card / debugging
+    query every triple-store user runs.  ``seeds`` is a one-column
+    DataFrame (``node_col``) or a Python list of node ids (a
+    query-author-typed list, literal-sized).  Output: distinct
+    (s, p, o).
+
+    Scale shape: two LEFT SEMI joins of the corpus against the seed
+    set — semi joins materialize nothing from the seed side and
+    broadcast it when small (always, for the list form; AQE decides
+    for DataFrame seeds).  Over a subject-bucketed triple table the
+    outgoing arm plans exchange-free; the incoming arm is the case
+    for an object-keyed secondary layout, which this reads as-is."""
+    spark = triples.sparkSession
+    if not isinstance(seeds, DataFrame):
+        seeds = spark.createDataFrame(
+            [(s,) for s in seeds], f"{node_col} string")
+    seeds = seeds.select(node_col).distinct()
+    out = triples.join(
+        seeds.withColumnRenamed(node_col, "s"), "s", "left_semi")
+    if include_incoming:
+        out = out.unionByName(triples.join(
+            seeds.withColumnRenamed(node_col, "o"), "o", "left_semi")
+            .select("s", "p", "o"))
+    return out.select("s", "p", "o").distinct()
 
 
 NS_RDFS = "http://www.w3.org/2000/01/rdf-schema#"

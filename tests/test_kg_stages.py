@@ -777,3 +777,72 @@ def test_bgp_path_matches_bruteforce_random(spark):
         got = {(r.a, r.z) for r in bgp_path(
             _triples_df(spark, sorted(tri)), spec).collect()}
         assert got == exp, f"seed {seed} spec {spec}"
+
+
+def test_bgp_path_negated_property_set(spark):
+    """``"!p"`` traverses forward edges with any OTHER predicate;
+    ``"!^q"`` reverse edges except q; a mixed set has both arms;
+    an empty set raises."""
+    from serd_spark.operators.kg import bgp_path
+
+    t = _triples_df(spark, [
+        ("a", "p", "b"), ("a", "q", "c"), ("a", "r", "d"),
+        ("e", "q", "a"),
+    ])
+    fwd = {(r.a, r.z) for r in bgp_path(t, ["!p"]).collect()}
+    assert fwd == {("a", "c"), ("a", "d"), ("e", "a")}
+    rev = {(r.a, r.z) for r in bgp_path(t, ["!^q"]).collect()}
+    assert rev == {("b", "a"), ("d", "a")}
+    mixed = {(r.a, r.z) for r in bgp_path(t, ["!q|^q"]).collect()}
+    assert mixed == {("a", "b"), ("a", "d"),      # fwd != q
+                     ("b", "a"), ("d", "a")}      # rev != q
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="negated"):
+        bgp_path(t, ["!"])
+
+
+def test_apply_delta_roundtrips_graph_delta(spark):
+    """apply_delta(old, graph_delta(old, new)) reproduces new as a
+    triple set; an empty delta is the identity."""
+    from serd_spark.operators.kg import apply_delta, graph_delta
+
+    old = _triples_df(spark, [
+        ("s1", "p", "a"), ("s2", "p", "b"), ("s3", "p", "c"),
+        ("s3", "p", "c"),
+    ])
+    new = _triples_df(spark, [
+        ("s1", "p", "a"), ("s2", "p", "B"), ("s4", "p", "d"),
+    ])
+    got = {(r.s, r.p, r.o) for r in apply_delta(
+        old, graph_delta(old, new)).collect()}
+    assert got == {("s1", "p", "a"), ("s2", "p", "B"),
+                   ("s4", "p", "d")}
+    ident = {(r.s, r.p, r.o) for r in apply_delta(
+        old, graph_delta(old, old)).collect()}
+    assert ident == {("s1", "p", "a"), ("s2", "p", "b"),
+                     ("s3", "p", "c")}
+
+
+def test_bgp_describe_arms(spark):
+    """DESCRIBE returns outgoing + incoming triples of the seed
+    set (list or DataFrame seeds), dedups across arms, and the
+    incoming arm is optional."""
+    from serd_spark.operators.kg import bgp_describe
+
+    t = _triples_df(spark, [
+        ("n1", "p", "x"), ("y", "q", "n1"), ("n1", "r", "n1"),
+        ("u", "p", "v"),
+    ])
+    both = {(r.s, r.p, r.o)
+            for r in bgp_describe(t, ["n1"]).collect()}
+    assert both == {("n1", "p", "x"), ("y", "q", "n1"),
+                    ("n1", "r", "n1")}
+    out_only = {(r.s, r.p, r.o) for r in bgp_describe(
+        t, ["n1"], include_incoming=False).collect()}
+    assert out_only == {("n1", "p", "x"), ("n1", "r", "n1")}
+    seeds_df = spark.createDataFrame([("n1",), ("u",)],
+                                     "node string")
+    df_seeds = {(r.s, r.p, r.o)
+                for r in bgp_describe(t, seeds_df).collect()}
+    assert df_seeds == {("n1", "p", "x"), ("y", "q", "n1"),
+                        ("n1", "r", "n1"), ("u", "p", "v")}
