@@ -4180,8 +4180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_char_sets": _q_kg_char_sets,
         # ---- external gate window ends here (position 50) ------------
         # -- (2b) new after the window filled (oracle-green in the
-        #    repo simulation this round; first in line for the
-        #    round-7 window as the only never-driver-verified rows) --
+        #    repo simulation this round at sf0.001 AND sf0.01; first
+        #    in line for the round-7 window as the only
+        #    never-driver-verified rows: kg_path3 .. kg_describe) --
         "kg_path3": _q_kg_path3,
         "kg_values": _q_kg_values,
         "kg_triple_pr": _q_kg_triple_pr,

@@ -846,3 +846,23 @@ def test_bgp_describe_arms(spark):
                 for r in bgp_describe(t, seeds_df).collect()}
     assert df_seeds == {("n1", "p", "x"), ("y", "q", "n1"),
                         ("n1", "r", "n1"), ("u", "p", "v")}
+
+
+def test_rdfs_entailment_plan_broadcast_only(spark):
+    """The corpus side of rdfs_entailment must never shuffle-join:
+    every rule is a broadcast hash join against an ontology-sized
+    closure map (the final distinct is the only exchange)."""
+    from serd_spark.operators.kg import NS_RDFS, rdfs_entailment
+
+    t = _triples_df(spark, [
+        ("p0", NS_RDFS + "subPropertyOf", "p1"),
+        ("p0", NS_RDFS + "domain", "C0"),
+        ("p0", NS_RDFS + "range", "C1"),
+        ("C1", NS_RDFS + "subClassOf", "C2"),
+        ("a", "p0", "b"),
+    ])
+    plan = rdfs_entailment(t)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
