@@ -615,7 +615,26 @@ def parse_ntriples_lines(
             else:
                 yield fast_df
 
-    return lines.mapInPandas(parse_part, schema=PARSED_SCHEMA)
+    parsed = lines.mapInPandas(parse_part, schema=PARSED_SCHEMA)
+    if not lax:
+        # Strict mode (serd O-17): the reader stops a document at
+        # its FIRST error — triples before it stand, everything
+        # after (later triples AND later errors) drops.  stmt_idx =
+        # (turn << 20) | line is document order, so this is a
+        # per-conv min over the error rows (error-bounded, tiny in
+        # the strict/validated regime) broadcast back against the
+        # parse.  The parse plan feeds both branches; strict is the
+        # validation path, where the extra evaluation is the price
+        # of failing precisely.
+        first_err = (parsed.where(F.col("err").isNotNull())
+                     .groupBy("conv_id")
+                     .agg(F.min("stmt_idx").alias("_fe")))
+        parsed = (parsed.join(F.broadcast(first_err), "conv_id",
+                              "left")
+                  .where(F.col("_fe").isNull()
+                         | (F.col("stmt_idx") <= F.col("_fe")))
+                  .drop("_fe"))
+    return parsed
 
 
 def split_quarantine(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:

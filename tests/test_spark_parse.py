@@ -348,3 +348,34 @@ def test_syntax_dispatch_routes_nq_to_line_parser(spark):
         parse_documents(tdf, syntax="ntriples"))
     assert e2.count() == 1
     assert {r.s for r in t2.collect()} == {"urn:s:2"}
+
+
+def test_nt_strict_stops_at_first_error(spark):
+    """Strict (lax=False) NT parse stops each conversation at its
+    FIRST bad line — earlier triples stand, later triples and later
+    errors drop; other conversations are untouched (serd strict
+    aborts per document, O-17)."""
+    from serd_spark.operators.parse import (
+        parse_ntriples_lines,
+        split_quarantine,
+    )
+
+    tdf = spark.createDataFrame(
+        [("c1", 0, "user",
+          "<urn:s:1> <urn:p> <urn:o:1> .\n"
+          "junk line .\n"
+          "<urn:s:2> <urn:p> <urn:o:2> .\n"
+          "more junk .", None, None),
+         ("c2", 0, "user", "<urn:s:3> <urn:p> <urn:o:3> .",
+          None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string")
+    t, e = split_quarantine(parse_ntriples_lines(tdf, lax=False))
+    assert {r.s for r in t.collect()} == {"urn:s:1", "urn:s:3"}
+    errs = e.collect()
+    assert len(errs) == 1 and errs[0].conv_id == "c1"
+    # lax keeps everything and quarantines BOTH bad lines
+    t2, e2 = split_quarantine(parse_ntriples_lines(tdf, lax=True))
+    assert {r.s for r in t2.collect()} == {
+        "urn:s:1", "urn:s:2", "urn:s:3"}
+    assert e2.count() == 2
