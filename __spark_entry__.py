@@ -3933,6 +3933,72 @@ def _o_kg_describe(_: str) -> str:
     """
 
 
+def _q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT under the gate: match order→customer
+    statements (a 1-hop bgp_path), then rewrite the bindings into
+    an INVERTED vocabulary — cust hasOrder order, plus a type
+    assertion per customer — the classic graph-to-graph reshape.
+    The oracle enumerates both template rows from the base table."""
+    from serd_spark.operators.kg import RDF_TYPE, bgp_construct, bgp_path
+
+    orders = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        F.concat(F.lit("urn:order:"), "o_orderkey").alias("s"),
+        F.lit("urn:schema:cust").alias("p"),
+        F.concat(F.lit("urn:cust:"), "o_custkey").alias("o"))
+    b = bgp_path(t, ["urn:schema:cust"],
+                 out_cols=("order_iri", "cust_iri"))
+    return bgp_construct(b, [
+        ("cust_iri", ("lit", "urn:schema:hasOrder"), "order_iri"),
+        ("cust_iri", ("lit", RDF_TYPE),
+         ("lit", "urn:class:Customer")),
+    ])
+
+
+def _o_kg_construct(_: str) -> str:
+    ty = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return f"""
+    SELECT DISTINCT s, p, o FROM (
+        SELECT 'urn:cust:' || o_custkey AS s,
+               'urn:schema:hasOrder' AS p,
+               'urn:order:' || o_orderkey AS o FROM orders
+        UNION ALL
+        SELECT DISTINCT 'urn:cust:' || o_custkey, '{ty}',
+               'urn:class:Customer' FROM orders
+    )
+    """
+
+
+def _q_kg_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK under the gate: a genuinely data-dependent probe
+    (does any order carry status 'P'? — the ~3%% minority class)
+    and a vocabulary-absent probe that must come back 0; the
+    oracle mirrors with EXISTS."""
+    from serd_spark.operators.kg import bgp_ask
+
+    orders = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        F.concat(F.lit("urn:order:"), "o_orderkey").alias("s"),
+        F.lit("urn:schema:status").alias("p"),
+        F.col("o_orderstatus").alias("o"))
+    pos = bgp_ask(t, "urn:schema:status", o="P") \
+        .withColumn("probe", F.lit("status_p"))
+    neg = bgp_ask(t, "urn:schema:nope") \
+        .withColumn("probe", F.lit("absent_pred"))
+    return pos.unionByName(neg)
+
+
+def _o_kg_ask(_: str) -> str:
+    return """
+    SELECT CAST(CASE WHEN EXISTS(
+               SELECT 1 FROM orders WHERE o_orderstatus = 'P')
+           THEN 1 ELSE 0 END AS BIGINT) AS ask,
+           'status_p' AS probe
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), 'absent_pred'
+    """
+
+
 def _q_kg_named_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NQuads named-graph parse under the exact gate — the first
     driver row exercising the ``g`` column AND the O-3 syntax
@@ -4193,6 +4259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs": _q_kg_rdfs,
         "kg_apply_delta": _q_kg_apply_delta,
         "kg_describe": _q_kg_describe,
+        "kg_construct": _q_kg_construct,
+        "kg_ask": _q_kg_ask,
         # -- (3) round-5 driver-green ----------------------------------
         # (simhash_pairs and tfidf_cosine lead group 3 — both r5
         #  hash-green, both yielded their slots to the never-verified
@@ -4325,6 +4393,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdfs": _o_kg_rdfs(sf),
         "kg_apply_delta": _o_kg_apply_delta(sf),
         "kg_describe": _o_kg_describe(sf),
+        "kg_construct": _o_kg_construct(sf),
+        "kg_ask": _o_kg_ask(sf),
         "prefix_jaccard": _o_prefix_jaccard(sf),
         "tfidf_cosine": _o_tfidf_cosine(sf),
         "shipping_priority": _o_shipping_priority(sf),

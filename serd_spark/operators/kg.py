@@ -815,6 +815,72 @@ def bgp_describe(
     return out.select("s", "p", "o").distinct()
 
 
+def bgp_construct(
+    bindings: DataFrame, template: list,
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: rewrite a bindings table (the output of
+    :func:`bgp_star` / :func:`bgp_path` / any select) into new
+    triples via a template — the graph-to-graph transformation verb
+    (invert an edge, reify a join result, re-predicate a legacy
+    vocabulary).  ``template`` is a list of (s, p, o) specs; each
+    spec is a binding COLUMN name, or a constant written
+    ``("lit", value)`` — a plain string must name a column, so
+    constants are explicit and typos fail fast instead of silently
+    emitting a constant.  Output: the template applied to every
+    binding row, all template rows unioned, distinct (CONSTRUCT
+    builds a graph — a triple SET).
+
+    Scale shape: pure per-row projections (zero joins, zero
+    Python), one union per template row off ONE pass of the
+    bindings, and the final set-dedup is the only exchange."""
+    if not template:
+        raise ValueError("template must be non-empty")
+
+    def _term(spec):
+        if isinstance(spec, tuple):
+            if len(spec) != 2 or spec[0] != "lit":
+                raise ValueError(
+                    f"constant term must be ('lit', value): {spec!r}")
+            return F.lit(spec[1])
+        if spec not in bindings.columns:
+            raise ValueError(
+                f"template names column {spec!r} not in bindings "
+                f"{bindings.columns}; constants are ('lit', value)")
+        return F.col(spec)
+
+    parts = [
+        bindings.select(
+            _term(s).alias("s"), _term(p).alias("p"),
+            _term(o).alias("o"))
+        for (s, p, o) in template
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.distinct()
+
+
+def bgp_ask(triples: DataFrame, pred: str,
+            s: str | None = None, o: str | None = None) -> DataFrame:
+    """SPARQL ``ASK``: does any statement match the pattern?  One
+    row, one bigint column ``ask`` (1/0 — integer so exact-equality
+    gates compare it robustly).  Constants bind whichever of
+    subject/object are given; the predicate is required.
+
+    Scale shape: the constant filters push to the scan and the
+    existence check is a LIMIT-1 count — Spark stops scanning at
+    the first matching row per the limit, no full aggregation."""
+    df = triples.where(F.col("p") == pred)
+    if s is not None:
+        df = df.where(F.col("s") == s)
+    if o is not None:
+        df = df.where(F.col("o") == o)
+    n = df.limit(1).count()
+    spark = triples.sparkSession
+    return spark.createDataFrame(
+        [(int(n > 0),)], "ask bigint")
+
+
 NS_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 

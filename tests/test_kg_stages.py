@@ -866,3 +866,39 @@ def test_rdfs_entailment_plan_broadcast_only(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_bgp_construct_template_rewrite(spark):
+    """CONSTRUCT applies every template row to every binding,
+    supports ('lit', …) constants, dedups the result, and fails
+    fast on a template naming a missing column."""
+    from serd_spark.operators.kg import bgp_construct
+
+    b = spark.createDataFrame(
+        [("o1", "c1"), ("o2", "c1"), ("o2", "c1")],
+        "order string, cust string")
+    got = {(r.s, r.p, r.o) for r in bgp_construct(b, [
+        ("cust", ("lit", "hasOrder"), "order"),
+        (("lit", "root"), ("lit", "owns"), "cust"),
+    ]).collect()}
+    assert got == {
+        ("c1", "hasOrder", "o1"), ("c1", "hasOrder", "o2"),
+        ("root", "owns", "c1"),
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not in bindings"):
+        bgp_construct(b, [("nope", ("lit", "p"), "order")])
+    with _pytest.raises(ValueError, match="non-empty"):
+        bgp_construct(b, [])
+
+
+def test_bgp_ask_existence(spark):
+    """ASK returns 1 iff a statement matches the pattern; subject
+    and object constants narrow it."""
+    from serd_spark.operators.kg import bgp_ask
+
+    t = _triples_df(spark, [("a", "p", "b"), ("c", "q", "d")])
+    assert bgp_ask(t, "p").collect()[0].ask == 1
+    assert bgp_ask(t, "z").collect()[0].ask == 0
+    assert bgp_ask(t, "p", s="a", o="b").collect()[0].ask == 1
+    assert bgp_ask(t, "p", s="c").collect()[0].ask == 0
