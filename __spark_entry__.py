@@ -3933,6 +3933,60 @@ def _o_kg_describe(_: str) -> str:
     """
 
 
+def _q_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool agent-transcript profile under the exact gate: the
+    input-hint's ``tool`` column driver-gated for the first time.
+    Transcripts synthesize deterministically from orders — one conv
+    per customer, turns in orderkey order, tool named by status,
+    every 13th turn an error result, ts = orderkey minutes — so
+    call counts, conversation reach, error ppm, and the
+    call→next-turn latency sums are all enumerable in SQL."""
+    from pyspark.sql import Window
+
+    from serd_spark.operators.analytics import tool_call_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    tdf = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        .alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.when(F.col("o_orderkey") % 13 == 0,
+               F.lit("error: tool failed"))
+        .otherwise(F.lit("ok result")).alias("text"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("search"))
+        .when(F.col("o_orderstatus") == "O", F.lit("browse"))
+        .otherwise(F.lit("code")).alias("tool"),
+        (F.col("o_orderkey") * 60).cast("timestamp").alias("ts"))
+    return tool_call_stats(tdf)
+
+
+def _o_tool_stats(_: str) -> str:
+    return """
+    WITH t AS (
+        SELECT 'c' || o_custkey AS conv,
+               o_orderkey * 60 AS ts,
+               CASE o_orderstatus WHEN 'F' THEN 'search'
+                    WHEN 'O' THEN 'browse' ELSE 'code' END AS tool,
+               (o_orderkey % 13 = 0) AS err,
+               LEAD(o_orderkey * 60) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey)
+                   AS nxt
+        FROM orders)
+    SELECT tool,
+           CAST(COUNT(*) AS BIGINT) AS n_calls,
+           CAST(COUNT(DISTINCT conv) AS BIGINT) AS n_convs,
+           CAST(SUM(CASE WHEN err THEN 1 ELSE 0 END)
+                * CAST(1000000 AS BIGINT) // COUNT(*) AS BIGINT)
+               AS err_ppm,
+           CAST(COUNT(nxt) AS BIGINT) AS gap_turns,
+           CAST(COALESCE(SUM(nxt - ts), 0) AS BIGINT)
+               AS gap_sec_total
+    FROM t GROUP BY tool
+    """
+
+
 def _q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL CONSTRUCT under the gate: match order→customer
     statements (a 1-hop bgp_path), then rewrite the bindings into
@@ -4261,6 +4315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe": _q_kg_describe,
         "kg_construct": _q_kg_construct,
         "kg_ask": _q_kg_ask,
+        "tool_stats": _q_tool_stats,
         # -- (3) round-5 driver-green ----------------------------------
         # (simhash_pairs and tfidf_cosine lead group 3 — both r5
         #  hash-green, both yielded their slots to the never-verified
@@ -4395,6 +4450,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_describe": _o_kg_describe(sf),
         "kg_construct": _o_kg_construct(sf),
         "kg_ask": _o_kg_ask(sf),
+        "tool_stats": _o_tool_stats(sf),
         "prefix_jaccard": _o_prefix_jaccard(sf),
         "tfidf_cosine": _o_tfidf_cosine(sf),
         "shipping_priority": _o_shipping_priority(sf),

@@ -61,6 +61,7 @@ HEADLINE = [
     "kg_path3", "kg_values", "kg_triple_pr", "kg_path_alt",
     "kg_sameas", "kg_delta", "kg_named_graphs", "kg_rdfs",
     "kg_apply_delta", "kg_describe", "kg_construct", "kg_ask",
+    "tool_stats",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended

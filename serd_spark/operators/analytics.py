@@ -168,3 +168,51 @@ def role_transitions(
         .groupBy("role", "next_role")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def tool_call_stats(
+    turns: DataFrame, tool_col: str = "tool",
+    text_col: str = "text", ts_col: str = "ts",
+    key_cols: tuple = ("conv_id",), order_col: str = "turn_idx",
+    error_prefix: str = "error",
+) -> DataFrame:
+    """Per-tool usage profile over agent transcripts — the input
+    table's ``tool`` column finally gets its own operator: how often
+    each tool is called, across how many conversations, how often
+    its result turn reports an error, and how long the agent sits
+    on the result before the next turn (the tool's latency shadow).
+    The north rule's transcripts carry (conv_id, turn_idx, role,
+    text, tool, ts); rows with a NULL tool (plain dialogue) are
+    ignored.
+
+    Output per tool: n_calls, n_convs, err_ppm (result text starts
+    with ``error_prefix``, ppm as BIGINT division — integer-exact
+    for exact-equality gates), gap_turns (calls that have a next
+    turn in the conversation), gap_sec_total (BIGINT epoch-second
+    sum of call→next-turn gaps) — callers wanting a mean divide the
+    two, keeping floats out of the operator.
+
+    Scale shape: ONE window pass keyed by conversation (the same
+    per-conv shuffle every transcript operator rides — co-located
+    input makes it exchange-free), then a map-side-combined
+    aggregate over tools; tool cardinality is application-sized, so
+    the final exchange is tiny.  No joins, nothing collects."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    nxt_ts = F.lead(F.col(ts_col).cast("long")).over(w)
+    calls = (
+        turns.select(
+            *key_cols, F.col(tool_col).alias("tool"),
+            F.lower(F.col(text_col)).startswith(error_prefix)
+            .alias("_err"),
+            (nxt_ts - F.col(ts_col).cast("long")).alias("_gap"))
+        .where(F.col("tool").isNotNull())
+    )
+    return calls.groupBy("tool").agg(
+        F.count("*").cast("long").alias("n_calls"),
+        F.countDistinct(*key_cols).cast("long").alias("n_convs"),
+        F.expr("CAST(sum(CASE WHEN _err THEN 1 ELSE 0 END) "
+               "* CAST(1000000 AS BIGINT) div count(*) AS BIGINT)")
+        .alias("err_ppm"),
+        F.count("_gap").cast("long").alias("gap_turns"),
+        F.coalesce(F.sum("_gap"), F.lit(0)).cast("long")
+        .alias("gap_sec_total"))

@@ -2319,3 +2319,33 @@ def test_streaming_graph_delta_equals_batch(spark, tmpdir_path):
         snapshot, tri(orders)).where(F.col("change") == "add")
         .collect()}
     assert set(got) == want and want
+
+
+def test_tool_call_stats_profile(spark):
+    """Per-tool stats: NULL-tool turns are ignored, the error flag
+    is a text prefix, the gap is call→NEXT TURN (tool or not), and
+    a conversation-final call counts in n_calls but not gap_turns."""
+    from serd_spark.operators.analytics import tool_call_stats
+
+    rows = [
+        # conv, idx, role, text, tool, ts (epoch seconds)
+        ("c1", 0, "assistant", "let me search", None, 100),
+        ("c1", 1, "tool", "ok result", "search", 110),
+        ("c1", 2, "assistant", "thanks", None, 140),
+        ("c1", 3, "tool", "error: boom", "search", 150),
+        ("c1", 4, "user", "retry", None, 155),
+        ("c2", 0, "tool", "ok", "browse", 200),
+        ("c2", 1, "tool", "Error: nope", "search", 260),  # final turn
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.tool: (r.n_calls, r.n_convs, r.err_ppm, r.gap_turns,
+                    r.gap_sec_total)
+           for r in tool_call_stats(df).collect()}
+    # search: 3 calls over 2 convs; 2 of 3 error; gaps 30 + 5 (the
+    # c2 final call has no next turn).
+    assert got["search"] == (3, 2, 2 * 1000000 // 3, 2, 35)
+    # browse: gap to the NEXT turn in c2 (also a tool turn): 60.
+    assert got["browse"] == (1, 1, 0, 1, 60)
