@@ -4025,7 +4025,7 @@ def _o_kg_construct(_: str) -> str:
 
 def _q_kg_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL ASK under the gate: a genuinely data-dependent probe
-    (does any order carry status 'P'? — the ~3%% minority class)
+    (does any order carry status 'P'?)
     and a vocabulary-absent probe that must come back 0; the
     oracle mirrors with EXISTS."""
     from serd_spark.operators.kg import bgp_ask
