@@ -285,6 +285,7 @@ def pagerank_weighted(
 def bfs_levels(
     edges: DataFrame, roots: DataFrame, max_iters: int = 30,
     src: str = "src", dst: str = "dst", id_col: str = "node",
+    on_max_iters: str = "raise",
 ) -> DataFrame:
     """Multi-source BFS reachability with hop counts: the SPARQL
     property-path query ``?root p+ ?x`` (transitive closure from a
@@ -307,7 +308,18 @@ def bfs_levels(
     knob.  Works on cyclic graphs: a cycle's nodes enter ``visited``
     on first touch and the anti-join keeps them out of later
     frontiers (the recursive-CTE oracle, by contrast, needs an
-    acyclic input to terminate)."""
+    acyclic input to terminate).
+
+    If the loop exhausts ``max_iters`` with a NON-empty frontier the
+    closure is incomplete; ``on_max_iters`` picks the contract:
+    ``"raise"`` (default — a silently partial reachability set is a
+    wrong answer), or ``"truncate"`` to return the ≤max_iters-hop
+    neighborhood (the bounded form some callers genuinely want, e.g.
+    quantified paths)."""
+    if on_max_iters not in ("raise", "truncate"):
+        raise ValueError(
+            f"on_max_iters must be 'raise' or 'truncate',"
+            f" got {on_max_iters!r}")
     frontier = roots.select(F.col(id_col).alias("node")).distinct() \
         .withColumn("level", F.lit(0)).localCheckpoint()
     visited = frontier
@@ -325,4 +337,12 @@ def bfs_levels(
             break
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    else:
+        if on_max_iters == "raise":
+            raise RuntimeError(
+                f"bfs_levels: frontier still non-empty after"
+                f" max_iters={max_iters} rounds — the graph is deeper"
+                f" than the backstop; raise max_iters or pass"
+                f" on_max_iters='truncate' for the bounded"
+                f" neighborhood")
     return visited.select("node", F.col("level").cast("int").alias("level"))

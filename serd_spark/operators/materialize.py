@@ -130,25 +130,47 @@ def write_bucketed_triples(
     the Iceberg `bucket(N, s)` partition transform the deploy target
     uses; `parse_documents_colocated` expects the same discipline on
     the transcripts side (bucket by conv_id)."""
+    import re
+
+    # The name reaches raw SQL and a filesystem path: accept only a
+    # plain (optionally db-qualified) identifier so a hostile string
+    # can neither inject SQL nor aim the stale-location cleanup at a
+    # directory the catalog never owned.
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*"
+                        r"(\.[A-Za-z_][A-Za-z0-9_]*)?", table):
+        raise ValueError(f"invalid table identifier: {table!r}")
     spark = triples.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # A PREVIOUS session's in-memory catalog forgot the table but its
-    # warehouse directory survives on disk; a managed-table save then
-    # fails with LOCATION_ALREADY_EXISTS.  Clear the stale location.
-    if "." not in table:
+
+    def _save() -> None:
+        (
+            triples.write.mode("overwrite")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+    try:
+        _save()
+    except Exception as e:  # noqa: BLE001 — narrowed by message below
+        # A PREVIOUS session's in-memory catalog forgot the table but
+        # its warehouse directory survives on disk; the managed-table
+        # save then fails with LOCATION_ALREADY_EXISTS.  Only THEN
+        # remove that directory (never preemptively — a same-named
+        # directory the catalog never owned must not be deleted on
+        # the happy path) and retry once.
+        if "LOCATION_ALREADY_EXISTS" not in str(e) or "." in table:
+            raise
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
-        if wh.scheme in ("", "file") and wh.path:
-            stale = os.path.join(wh.path, table.lower())
-            if os.path.isdir(stale):
-                import shutil
+        if not (wh.scheme in ("", "file") and wh.path):
+            raise
+        stale = os.path.join(wh.path, table.lower())
+        if not os.path.isdir(stale):
+            raise
+        import shutil
 
-                shutil.rmtree(stale, ignore_errors=True)
-    (
-        triples.write.mode("overwrite")
-        .bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
-        .format("parquet")
-        .saveAsTable(table)
-    )
+        shutil.rmtree(stale, ignore_errors=True)
+        _save()

@@ -144,8 +144,19 @@ def parse_documents(
     which also handles NQ graph labels the Turtle grammar has no
     production for.  (NT statement indices are the deterministic
     ``(turn_idx << 20) | line_no`` rather than a per-conv running
-    count; both orderings are stable.)"""
+    count; both orderings are stable.)
+
+    The line grammars REQUIRE absolute IRIs (no @base production in
+    NT/NQ), so a caller-supplied ``base_template`` cannot affect
+    resolution on this path — a non-default value is rejected rather
+    than silently ignored (it would signal the caller expected the
+    Turtle path's per-conversation base behavior)."""
     if syntax in ("ntriples", "nquads"):
+        if base_template != DEFAULT_BASE_TEMPLATE:
+            raise ValueError(
+                f"base_template is not supported for syntax={syntax!r}:"
+                " the NT/NQ line grammars have no relative-IRI"
+                " production to resolve against it")
         return parse_ntriples_lines(
             transcripts, nquads=(syntax == "nquads"), lax=lax)
 
@@ -263,8 +274,15 @@ def parse_documents_chunked(
     NT/NQ dispatch mirrors :func:`parse_documents`: line grammars
     have no cross-chunk state to patch, so chunking buys nothing —
     the line path IS the skew-proof plan (a mega-conversation's
-    lines spread across partitions for free)."""
+    lines spread across partitions for free); a non-default
+    ``base_template`` is rejected the same way (no relative-IRI
+    production to resolve against it)."""
     if syntax in ("ntriples", "nquads"):
+        if base_template != DEFAULT_BASE_TEMPLATE:
+            raise ValueError(
+                f"base_template is not supported for syntax={syntax!r}:"
+                " the NT/NQ line grammars have no relative-IRI"
+                " production to resolve against it")
         return parse_ntriples_lines(
             transcripts, nquads=(syntax == "nquads"), lax=lax)
     if chunks is None:
@@ -622,14 +640,18 @@ def parse_ntriples_lines(
         # after (later triples AND later errors) drops.  stmt_idx =
         # (turn << 20) | line is document order, so this is a
         # per-conv min over the error rows (error-bounded, tiny in
-        # the strict/validated regime) broadcast back against the
-        # parse.  The parse plan feeds both branches; strict is the
+        # the strict/validated regime) joined back against the
+        # parse.  No broadcast() hint: AQE broadcasts the tiny
+        # error set on the happy path anyway, while an adversarial
+        # mostly-broken corpus (conv-cardinality error table)
+        # degrades to a shuffle join instead of OOMing the driver.
+        # The parse plan feeds both branches; strict is the
         # validation path, where the extra evaluation is the price
         # of failing precisely.
         first_err = (parsed.where(F.col("err").isNotNull())
                      .groupBy("conv_id")
                      .agg(F.min("stmt_idx").alias("_fe")))
-        parsed = (parsed.join(F.broadcast(first_err), "conv_id",
+        parsed = (parsed.join(first_err, "conv_id",
                               "left")
                   .where(F.col("_fe").isNull()
                          | (F.col("stmt_idx") <= F.col("_fe")))

@@ -538,6 +538,7 @@ def start_streaming_interval_enrich(
 def start_streaming_graph_delta(
     stream: DataFrame, snapshot: DataFrame, sink,
     checkpoint_path: str | None = None, available_now: bool = True,
+    state_path: str | None = None,
 ):
     """Streaming KG ingestion with SET semantics: each micro-batch of
     asserted triples emits only the rows genuinely NEW relative to
@@ -564,16 +565,47 @@ def start_streaming_graph_delta(
     standing in for the bucketed table, the same stand-in the BGP
     family's tests use.
 
+    Restart semantics: the in-memory seen-set dies with the driver,
+    so resuming from a stream checkpoint with state reset to the base
+    snapshot would re-emit triples already streamed — breaking the
+    no-duplicate set contract.  ``state_path`` fixes that: the seen
+    delta is PERSISTED (parquet, appended per batch) and reloaded on
+    start, so a restarted query dedups against everything emitted
+    before the restart.  Passing ``checkpoint_path`` WITHOUT
+    ``state_path`` is therefore rejected rather than silently unsound.
+    The state append lands after ``sink`` returns, so a crash between
+    the two re-emits that one batch on replay (at-least-once into the
+    sink; Spark replays the batch under the SAME batch_id, so an
+    idempotent sink — or any downstream consumer applying set
+    semantics — sees exactly-once).
+
     ``sink(adds_df, batch_id)`` receives each batch's (s, p, o,
     change='add') rows.  Returns the started StreamingQuery."""
+    if checkpoint_path and not state_path:
+        raise ValueError(
+            "checkpoint_path without state_path: after a restart the"
+            " in-memory seen-set would reset to the base snapshot and"
+            " re-emit already-streamed triples; pass state_path to"
+            " persist the seen delta (or drop checkpoint_path for the"
+            " single-run in-memory form)")
     ks = ["s", "p", "o"]
-    state = {"seen": snapshot.select(ks).distinct().localCheckpoint()}
+    spark = snapshot.sparkSession
+    seen = snapshot.select(ks).distinct()
+    if state_path:
+        try:
+            prior = spark.read.parquet(state_path).select(ks)
+            seen = seen.unionByName(prior).distinct()
+        except Exception:  # noqa: BLE001 — first start: no state yet
+            pass
+    state = {"seen": seen.localCheckpoint()}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         cand = batch_df.select(ks).distinct()
         new = cand.join(state["seen"], ks, "left_anti") \
             .localCheckpoint()
         sink(new.withColumn("change", F.lit("add")), batch_id)
+        if state_path:
+            new.write.mode("append").parquet(state_path)
         state["seen"] = state["seen"].unionByName(new) \
             .localCheckpoint()
 

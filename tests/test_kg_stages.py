@@ -902,3 +902,37 @@ def test_bgp_ask_existence(spark):
     assert bgp_ask(t, "z").collect()[0].ask == 0
     assert bgp_ask(t, "p", s="a", o="b").collect()[0].ask == 1
     assert bgp_ask(t, "p", s="c").collect()[0].ask == 0
+
+
+def test_bfs_levels_max_iters_contract(spark):
+    """ADVICE r6: exhausting max_iters with a non-empty frontier used
+    to return a silently partial closure; the default now raises and
+    'truncate' opts into the bounded neighborhood explicitly."""
+    from serd_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long")
+    roots = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(RuntimeError, match="max_iters"):
+        bfs_levels(edges, roots, max_iters=3)
+    got = {(r.node, r.level) for r in bfs_levels(
+        edges, roots, max_iters=3, on_max_iters="truncate").collect()}
+    assert got == {(0, 0), (1, 1), (2, 2), (3, 3)}
+    full = {(r.node, r.level)
+            for r in bfs_levels(edges, roots).collect()}
+    assert full == {(i, i) for i in range(7)}
+    with pytest.raises(ValueError, match="on_max_iters"):
+        bfs_levels(edges, roots, on_max_iters="bogus")
+
+
+def test_write_bucketed_triples_rejects_bad_identifier(spark):
+    """ADVICE r6: the table name reaches raw SQL and a warehouse
+    path; non-identifier strings must be rejected, not interpolated."""
+    from serd_spark.operators.materialize import write_bucketed_triples
+
+    t = spark.createDataFrame([("a", "b", "c")],
+                              "s string, p string, o string")
+    for bad in ("x; DROP TABLE y", "../evil", "a.b.c", "", "1tbl",
+                "tbl-name"):
+        with pytest.raises(ValueError, match="identifier"):
+            write_bucketed_triples(t, bad)

@@ -2310,8 +2310,9 @@ def test_streaming_graph_delta_equals_batch(spark, tmpdir_path):
             assert r.change == "add"
             got.append((r.s, r.p, r.o))
 
-    q = start_streaming_graph_delta(stream, snapshot, sink,
-                                    checkpoint_path=ckpt)
+    q = start_streaming_graph_delta(
+        stream, snapshot, sink, checkpoint_path=ckpt,
+        state_path=os.path.join(tmpdir_path, "gdstate"))
     q.awaitTermination(180)
 
     assert len(got) == len(set(got)), "a triple was emitted twice"
@@ -2319,6 +2320,68 @@ def test_streaming_graph_delta_equals_batch(spark, tmpdir_path):
         snapshot, tri(orders)).where(F.col("change") == "add")
         .collect()}
     assert set(got) == want and want
+
+
+def test_streaming_graph_delta_restart_no_reemit(spark, tmpdir_path):
+    """Driver-restart semantics (ADVICE r6): a SECOND query resumed
+    from the same checkpoint + state re-asserts run-1 triples and
+    must emit NONE of them again — only state_path makes that hold,
+    and checkpoint_path without it is rejected outright."""
+    import pytest
+
+    from serd_spark.operators.kg import graph_delta
+    from serd_spark.streaming.ingest import start_streaming_graph_delta
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet")
+
+    def tri(df):
+        return df.select(
+            F.concat(F.lit("urn:order:"), "o_orderkey").alias("s"),
+            F.lit("urn:schema:cust").alias("p"),
+            F.concat(F.lit("urn:cust:"), "o_custkey").alias("o"))
+
+    snapshot = tri(orders.where(F.col("o_orderkey") % 3 == 0))
+    part1 = tri(orders.where(F.col("o_orderkey") % 3 == 1))
+    # run 2 RE-asserts all of part1 plus the genuinely new remainder
+    part2 = tri(orders)
+
+    inp = os.path.join(tmpdir_path, "grin")
+    ckpt = os.path.join(tmpdir_path, "grckpt")
+    state = os.path.join(tmpdir_path, "grstate")
+    os.makedirs(inp)
+
+    with pytest.raises(ValueError, match="state_path"):
+        start_streaming_graph_delta(
+            spark.readStream.schema(part1.schema).parquet(inp),
+            snapshot, lambda df, bid: None, checkpoint_path=ckpt)
+
+    def run(df_to_append, emitted):
+        df_to_append.write.mode("append").parquet(inp)
+
+        def sink(adds, batch_id):
+            emitted.extend((r.s, r.p, r.o) for r in adds.collect())
+
+        stream = (spark.readStream.schema(part1.schema)
+                  .option("maxFilesPerTrigger", 2).parquet(inp))
+        q = start_streaming_graph_delta(
+            stream, snapshot, sink, checkpoint_path=ckpt,
+            state_path=state)
+        q.awaitTermination(180)
+
+    got1: list[tuple] = []
+    run(part1, got1)
+    got2: list[tuple] = []
+    run(part2, got2)  # fresh query object == restarted driver
+
+    assert got1 and got2
+    assert not set(got1) & set(got2), "restart re-emitted a triple"
+    want = {(r.s, r.p, r.o) for r in graph_delta(
+        snapshot, tri(orders)).where(F.col("change") == "add")
+        .collect()}
+    assert set(got1) | set(got2) == want
+    assert len(got1) == len(set(got1))
+    assert len(got2) == len(set(got2))
 
 
 def test_tool_call_stats_profile(spark):

@@ -379,3 +379,21 @@ def test_nt_strict_stops_at_first_error(spark):
     assert {r.s for r in t2.collect()} == {
         "urn:s:1", "urn:s:2", "urn:s:3"}
     assert e2.count() == 2
+
+
+def test_line_syntax_rejects_base_template(spark):
+    """ADVICE r6: the NT/NQ dispatch used to silently drop a caller's
+    base_template (the line grammars have no relative-IRI production);
+    a non-default value is now rejected on both entry points."""
+    tdf = spark.createDataFrame(
+        [("c1", 0, "user", "<urn:a> <urn:b> <urn:c> .", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string")
+    with pytest.raises(ValueError, match="base_template"):
+        parse_documents(tdf, syntax="ntriples",
+                        base_template="http://x/{conv_id}")
+    with pytest.raises(ValueError, match="base_template"):
+        parse_documents_chunked(tdf, syntax="nquads",
+                                base_template="http://x/{conv_id}")
+    # the default template stays accepted (and ignored, per NT spec)
+    assert parse_documents(tdf, syntax="ntriples").count() == 1
