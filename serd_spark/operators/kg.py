@@ -357,9 +357,32 @@ def extract_relations(
     )
 
 
+def _graph_scope(
+    triples: DataFrame, graph: str | None, carry_graph: bool,
+) -> DataFrame:
+    """Shared GRAPH-clause plumbing for the BGP verbs: a constant
+    ``graph`` is SPARQL's ``GRAPH <iri> { … }`` (one more scan-pushed
+    equality filter); ``carry_graph`` is ``GRAPH ?g { … }`` — the
+    caller then keys every arm join on ``(g, s)`` so all arms of the
+    pattern match within the SAME named graph and ``?g`` rides along
+    as an output binding.  Either form requires the quad column ``g``
+    (parsed from TriG/NQ corpora); triple-only tables are rejected
+    rather than silently matched across graphs."""
+    if graph is None and not carry_graph:
+        return triples
+    if "g" not in triples.columns:
+        raise ValueError(
+            "GRAPH-scoped pattern needs a 'g' column (parse a"
+            " TriG/NQ corpus, or drop graph=/carry_graph=)")
+    if graph is not None:
+        triples = triples.where(F.col("g") == graph)
+    return triples
+
+
 def bgp_2hop(
     triples: DataFrame, p1: str, p2: str,
     out_cols: tuple = ("a", "c"),
+    graph: str | None = None, carry_graph: bool = False,
 ) -> DataFrame:
     """Two-hop basic-graph-pattern query over a materialized triple
     table: ``?a p1 ?b . ?b p2 ?c`` → distinct (a, c) — the smallest
@@ -374,13 +397,21 @@ def bgp_2hop(
     shared node ``?b``.  Over a triple table bucketed by subject
     (``materialize.write_bucketed_triples``) the join side reading
     ``s`` is exchange-free; nothing here is a cartesian and neither
-    side is assumed broadcastable."""
+    side is assumed broadcastable.
+
+    ``graph``/``carry_graph`` add the SPARQL GRAPH clause (see
+    :func:`_graph_scope`): with ``carry_graph`` both hops must match
+    in the SAME named graph — the join keys on ``(g, ?b)`` and the
+    output grows a leading ``g`` column."""
     oa, oc = out_cols
-    e1 = triples.where(F.col("p") == p1).select(
-        F.col("s").alias(oa), F.col("o").alias("_b"))
-    e2 = triples.where(F.col("p") == p2).select(
-        F.col("s").alias("_b"), F.col("o").alias(oc))
-    return e1.join(e2, "_b").select(oa, oc).distinct()
+    t = _graph_scope(triples, graph, carry_graph)
+    gcols = ["g"] if carry_graph else []
+    e1 = t.where(F.col("p") == p1).select(
+        *gcols, F.col("s").alias(oa), F.col("o").alias("_b"))
+    e2 = t.where(F.col("p") == p2).select(
+        *gcols, F.col("s").alias("_b"), F.col("o").alias(oc))
+    return e1.join(e2, gcols + ["_b"]) \
+        .select(*gcols, oa, oc).distinct()
 
 
 def bgp_star(
@@ -388,6 +419,7 @@ def bgp_star(
     optional_preds: list | None = None,
     optional_cols: list | None = None,
     max_per_pred: int | None = None,
+    graph: str | None = None, carry_graph: bool = False,
 ) -> DataFrame:
     """Star-shaped basic graph pattern: ``?s p1 ?o1 . ?s p2 ?o2 …``
     — the entity-profile query (all requested properties of each
@@ -424,7 +456,13 @@ def bgp_star(
     nodes), and on any layout the n-way join reuses one hash
     partitioning of ``s`` across all arms instead of re-shuffling
     per join.  The cap is a per-arm count window — same partitioning
-    again, no extra exchange."""
+    again, no extra exchange.
+
+    ``graph``/``carry_graph`` add the SPARQL GRAPH clause (see
+    :func:`_graph_scope`): with ``carry_graph`` every arm — required,
+    optional, and the cap window alike — keys on ``(g, s)``, so the
+    star stays a one-partitioning join tree per named graph and the
+    output grows a leading ``g`` column."""
     if not preds:
         raise ValueError("preds must be non-empty")
     out_cols = out_cols or [f"o{i}" for i in range(1, len(preds) + 1)]
@@ -439,11 +477,14 @@ def bgp_star(
             f"optional_cols has {len(optional_cols)} names for "
             f"{len(optional_preds)} optional_preds")
 
+    t = _graph_scope(triples, graph, carry_graph)
+    key = (["g", "s"] if carry_graph else ["s"])
+
     def _arm(p: str, oc: str) -> DataFrame:
-        arm = triples.where(F.col("p") == p).select(
-            "s", F.col("o").alias(oc))
+        arm = t.where(F.col("p") == p).select(
+            *key, F.col("o").alias(oc))
         if max_per_pred is not None:
-            w = Window.partitionBy("s")
+            w = Window.partitionBy(*key)
             arm = arm.withColumn("_n", F.count("*").over(w)) \
                 .where(F.col("_n") <= max_per_pred).drop("_n")
         return arm
@@ -451,15 +492,16 @@ def bgp_star(
     df = None
     for p, oc in zip(preds, out_cols):
         arm = _arm(p, oc)
-        df = arm if df is None else df.join(arm, "s")
+        df = arm if df is None else df.join(arm, key)
     for p, oc in zip(optional_preds, optional_cols):
-        df = df.join(_arm(p, oc), "s", "left")
+        df = df.join(_arm(p, oc), key, "left")
     return df.distinct()
 
 
 def bgp_not_exists(
     triples: DataFrame, pred: str, absent_pred: str,
     out_col: str = "o",
+    graph: str | None = None, carry_graph: bool = False,
 ) -> DataFrame:
     """Negation-by-absence BGP: ``?s pred ?o . FILTER NOT EXISTS
     { ?s absent_pred ?any }`` — the third workhorse SPARQL shape
@@ -473,11 +515,19 @@ def bgp_not_exists(
     same key as every other BGP join, so over a subject-bucketed
     triple table (``materialize.write_bucketed_triples``) it is
     exchange-free, and the anti join never materializes the negated
-    side's values (Spark builds/probes only ``s``)."""
-    have = triples.where(F.col("p") == pred).select(
-        "s", F.col("o").alias(out_col))
-    absent = triples.where(F.col("p") == absent_pred).select("s")
-    return have.join(absent, "s", "left_anti").distinct()
+    side's values (Spark builds/probes only ``s``).
+
+    ``graph``/``carry_graph`` add the SPARQL GRAPH clause (see
+    :func:`_graph_scope`): with ``carry_graph`` the absence test is
+    PER NAMED GRAPH — ``?s`` lacking the property in graph g1 matches
+    even if some other graph asserts it (the anti join keys on
+    ``(g, s)``) — and the output grows a leading ``g`` column."""
+    t = _graph_scope(triples, graph, carry_graph)
+    key = (["g", "s"] if carry_graph else ["s"])
+    have = t.where(F.col("p") == pred).select(
+        *key, F.col("o").alias(out_col))
+    absent = t.where(F.col("p") == absent_pred).select(*key)
+    return have.join(absent, key, "left_anti").distinct()
 
 
 def characteristic_sets(triples: DataFrame) -> DataFrame:
@@ -541,53 +591,200 @@ def bgp_path(
     if not preds:
         raise ValueError("preds must be non-empty")
 
-    def _hop(spec, src: str, dst: str) -> DataFrame:
-        parts = []
-        if isinstance(spec, str) and spec.startswith("!"):
-            # SPARQL negated property set: ``!(p1|^p2|…)`` —
-            # forward edges whose predicate is NOT among the forward
-            # members, plus (iff the set has ^-members) reverse
-            # edges whose predicate is not among those.  The NOT-IN
-            # filter pushes to the scan like the positive isin.
-            items = [x for x in spec[1:].split("|") if x]
-            if not items:
-                raise ValueError("negated property set must be "
-                                 "non-empty: '!p1|^p2|…'")
-            fex = [p for p in items if not p.startswith("^")]
-            iex = [p[1:] for p in items if p.startswith("^")]
-            if fex:
-                parts.append(triples.where(~F.col("p").isin(fex))
-                             .select(F.col("s").alias(src),
-                                     F.col("o").alias(dst)))
-            if iex:
-                parts.append(triples.where(~F.col("p").isin(iex))
-                             .select(F.col("o").alias(src),
-                                     F.col("s").alias(dst)))
-        else:
-            alts = [spec] if isinstance(spec, str) else list(spec)
-            if not alts:
-                raise ValueError("alternation hop must be non-empty")
-            fwd = [p for p in alts if not p.startswith("^")]
-            inv = [p[1:] for p in alts if p.startswith("^")]
-            if fwd:
-                parts.append(triples.where(F.col("p").isin(fwd))
-                             .select(F.col("s").alias(src),
-                                     F.col("o").alias(dst)))
-            if inv:
-                parts.append(triples.where(F.col("p").isin(inv))
-                             .select(F.col("o").alias(src),
-                                     F.col("s").alias(dst)))
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        return df
-
     oa, oz = out_cols
-    df = _hop(preds[0], oa, "_n")
+    df = _path_hop(triples, preds[0], oa, "_n")
     for spec in preds[1:]:
-        df = df.join(_hop(spec, "_n", "_m"), "_n").select(
-            oa, F.col("_m").alias("_n"))
+        df = df.join(_path_hop(triples, spec, "_n", "_m"), "_n") \
+            .select(oa, F.col("_m").alias("_n"))
     return df.select(oa, F.col("_n").alias(oz)).distinct()
+
+
+def _path_hop(triples: DataFrame, spec, src: str, dst: str) -> DataFrame:
+    """One property-path hop as an edge DataFrame (src, dst) — the
+    shared hop grammar of :func:`bgp_path` and
+    :func:`bgp_path_quant`: a predicate string, ``"^pred"`` for the
+    inverse direction, a list for alternation, or ``"!p1|^p2"`` for a
+    negated property set.  Every form is an isin/equality predicate
+    filter pushed to the scan (an alternation is ONE scan with an IN
+    filter per direction, not a scan per alternative)."""
+    parts = []
+    if isinstance(spec, str) and spec.startswith("!"):
+        # SPARQL negated property set: ``!(p1|^p2|…)`` —
+        # forward edges whose predicate is NOT among the forward
+        # members, plus (iff the set has ^-members) reverse
+        # edges whose predicate is not among those.  The NOT-IN
+        # filter pushes to the scan like the positive isin.
+        items = [x for x in spec[1:].split("|") if x]
+        if not items:
+            raise ValueError("negated property set must be "
+                             "non-empty: '!p1|^p2|…'")
+        fex = [p for p in items if not p.startswith("^")]
+        iex = [p[1:] for p in items if p.startswith("^")]
+        if fex:
+            parts.append(triples.where(~F.col("p").isin(fex))
+                         .select(F.col("s").alias(src),
+                                 F.col("o").alias(dst)))
+        if iex:
+            parts.append(triples.where(~F.col("p").isin(iex))
+                         .select(F.col("o").alias(src),
+                                 F.col("s").alias(dst)))
+    else:
+        alts = [spec] if isinstance(spec, str) else list(spec)
+        if not alts:
+            raise ValueError("alternation hop must be non-empty")
+        fwd = [p for p in alts if not p.startswith("^")]
+        inv = [p[1:] for p in alts if p.startswith("^")]
+        if fwd:
+            parts.append(triples.where(F.col("p").isin(fwd))
+                         .select(F.col("s").alias(src),
+                                 F.col("o").alias(dst)))
+        if inv:
+            parts.append(triples.where(F.col("p").isin(inv))
+                         .select(F.col("o").alias(src),
+                                 F.col("s").alias(dst)))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def bgp_path_quant(
+    triples: DataFrame, spec, n_min: int, n_max: int | None = None,
+    out_cols: tuple = ("a", "z"), max_iters: int = 30,
+) -> DataFrame:
+    """Quantified / closure property paths — the repetition forms of
+    SPARQL 1.1 path syntax that :func:`bgp_path` (fixed chains) and
+    :func:`serd_spark.operators.graph.bfs_levels` (seeded ``p+``)
+    don't cover with both ends unbound:
+
+    - ``p{n,m}`` → ``bgp_path_quant(t, p, n, m)`` (bounded repetition)
+    - ``p?``     → ``n_min=0, n_max=1``
+    - ``p*``     → ``n_min=0, n_max=None`` (reflexive-transitive)
+    - ``p+``     → ``n_min=1, n_max=None`` (transitive)
+
+    ``spec`` is one hop in :func:`bgp_path`'s grammar (string,
+    ``"^pred"``, alternation list, or negated set).  Output: distinct
+    ``(a, z)`` pairs connected by SOME path of length k with
+    ``n_min ≤ k ≤ n_max`` (existence semantics — SPARQL paths are
+    not counting).  The zero-length row (``n_min=0``) binds every
+    graph term to itself, with "graph terms" = the subjects and
+    objects of the WHOLE triple table (the SPARQL spec's
+    all-terms-in-the-graph evaluation, restricted to node positions).
+
+    ``n_max=None`` with ``n_min > 1`` is rejected: ``p{2,}`` is
+    ``p/p+`` — compose :func:`bgp_path` with this operator instead of
+    widening this loop's contract.
+
+    Scale shape: the step-edge table is ONE predicate set's edges
+    (scan-pushed filter).  Bounded form: m−1 pair-frontier hash joins
+    keyed on the frontier node, each followed by a distinct — the
+    frontier never exceeds the distinct reachable-pair count, and an
+    empty frontier short-circuits.  Unbounded form: the same frontier
+    joins plus a LEFT ANTI join against the visited-pair set per
+    round (cycle-safe, frontier strictly shrinking on converging
+    paths) with localCheckpoint truncating the iterative lineage —
+    and the ``max_iters`` backstop RAISES on exhaustion rather than
+    returning a partial closure.  The both-ends-unbound closure is
+    inherently output-bounded, not input-bounded: its natural 100 TB
+    use is schema-sized predicates (``rdfs:subClassOf*``,
+    ``skos:broader+``); for instance-scale reachability from a seed
+    set, use ``bfs_levels`` (frontier-from-roots, not all-pairs)."""
+    if n_min < 0:
+        raise ValueError(f"n_min must be >= 0, got {n_min}")
+    if n_max is not None and n_max < n_min:
+        raise ValueError(f"n_max={n_max} < n_min={n_min}")
+    if n_max is None and n_min > 1:
+        raise ValueError(
+            "n_min > 1 with unbounded n_max: compose the fixed"
+            " prefix with bgp_path (p{2,} == p/p+) instead")
+    oa, oz = out_cols
+    parts: list[DataFrame] = []
+    if n_min == 0:
+        nodes = triples.select(F.col("s").alias("_a")).unionByName(
+            triples.select(F.col("o").alias("_a"))).distinct()
+        parts.append(nodes.select("_a", F.col("_a").alias("_z")))
+    if n_max == 0:
+        step = None
+    else:
+        step = _path_hop(triples, spec, "_a", "_z").distinct() \
+            .localCheckpoint()
+        nxt_step = step.select(F.col("_a").alias("_z"),
+                               F.col("_z").alias("_z2"))
+    if step is not None and n_max is not None:
+        frontier = step
+        if n_min <= 1:
+            parts.append(frontier)
+        for k in range(2, n_max + 1):
+            frontier = (
+                frontier.join(nxt_step, "_z")
+                .select("_a", F.col("_z2").alias("_z"))
+                .distinct().localCheckpoint())
+            if frontier.isEmpty():
+                break
+            if k >= n_min:
+                parts.append(frontier)
+    elif step is not None:
+        visited = step
+        frontier = step
+        for _ in range(max_iters):
+            nxt = (
+                frontier.join(nxt_step, "_z")
+                .select("_a", F.col("_z2").alias("_z"))
+                .distinct()
+                .join(visited, ["_a", "_z"], "left_anti")
+                .localCheckpoint())
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        else:
+            raise RuntimeError(
+                f"bgp_path_quant: pair frontier still non-empty after"
+                f" max_iters={max_iters} rounds — raise max_iters (the"
+                f" closure is deeper than the backstop)")
+        parts.append(visited)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.select(F.col("_a").alias(oa),
+                     F.col("_z").alias(oz)).distinct()
+
+
+def bgp_minus(
+    bindings: DataFrame, pattern: DataFrame,
+    on: list | None = None,
+) -> DataFrame:
+    """SPARQL ``MINUS``: remove solutions from ``bindings`` that are
+    compatible with some solution of ``pattern`` on their SHARED
+    variables — the set-subtraction negation verb next to
+    :func:`bgp_not_exists` (the correlated-existence form).  The two
+    differ exactly where SPARQL says they do: when the operands share
+    NO variables, MINUS removes NOTHING (disjoint domains are never
+    compatible), which this operator honors by returning ``bindings``
+    unchanged — where a NOT EXISTS would drop everything whenever the
+    pattern is non-empty.
+
+    ``on`` names the shared variables explicitly; default = the
+    column-name intersection.  Shared columns are assumed bound
+    (non-NULL) on both sides — rows with a NULL shared column are
+    never matched, hence never removed (Spark join semantics; the
+    standard simplification for fully-bound BGP bindings).
+
+    Scale shape: ONE left-anti hash join on the shared variable set —
+    the pattern side projects to just those columns first, so nothing
+    else shuffles; keyed on ``s``-led columns it rides the same
+    subject partitioning as every other BGP verb."""
+    shared = (list(on) if on is not None
+              else [c for c in bindings.columns
+                    if c in set(pattern.columns)])
+    missing = [c for c in shared
+               if c not in bindings.columns or c not in pattern.columns]
+    if missing:
+        raise ValueError(f"on columns missing from an operand:"
+                         f" {missing}")
+    if not shared:
+        return bindings
+    return bindings.join(pattern.select(shared), shared, "left_anti")
 
 
 def bgp_values(

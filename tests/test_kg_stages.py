@@ -936,3 +936,201 @@ def test_write_bucketed_triples_rejects_bad_identifier(spark):
                 "tbl-name"):
         with pytest.raises(ValueError, match="identifier"):
             write_bucketed_triples(t, bad)
+
+
+def test_bgp_path_quant_forms(spark):
+    """p{n,m} / p? / p+ / p* on a chain plus a 2-cycle: bounded
+    repetition enumerates exactly the in-range path lengths, the
+    closure forms are cycle-safe, and the reflexive row binds every
+    graph term."""
+    from serd_spark.operators.kg import bgp_path_quant
+
+    tri = [("a", "e", "b"), ("b", "e", "c"), ("c", "e", "d"),
+           ("x", "e", "y"), ("y", "e", "x"), ("q", "f", "a")]
+    t = _triples_df(spark, tri)
+    terms = {s for (s, _, _) in tri} | {o for (_, _, o) in tri}
+    ident = {(n, n) for n in terms}
+
+    def got(n_min, n_max=None):
+        return {(r.a, r.z) for r in
+                bgp_path_quant(t, "e", n_min, n_max).collect()}
+
+    step = {("a", "b"), ("b", "c"), ("c", "d"),
+            ("x", "y"), ("y", "x")}
+    plus = {("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+            ("b", "d"), ("c", "d"),
+            ("x", "y"), ("y", "x"), ("x", "x"), ("y", "y")}
+    assert got(2, 3) == {("a", "c"), ("b", "d"), ("x", "x"),
+                         ("y", "y"), ("a", "d"), ("x", "y"),
+                         ("y", "x")}
+    assert got(0, 1) == ident | step          # p?
+    assert got(1) == plus                     # p+
+    assert got(0) == ident | plus             # p*
+    assert got(0, 0) == ident                 # zero-length only
+    assert got(3, 3) == {("a", "d"), ("x", "y"), ("y", "x")}
+
+    with pytest.raises(ValueError, match="n_min"):
+        bgp_path_quant(t, "e", -1, 2)
+    with pytest.raises(ValueError, match="n_max"):
+        bgp_path_quant(t, "e", 3, 2)
+    with pytest.raises(ValueError, match="compose"):
+        bgp_path_quant(t, "e", 2, None)
+
+
+def test_bgp_path_quant_matches_bruteforce_random(spark):
+    """Random graphs × random (n_min, n_max): quantified repetition
+    equals naive per-length enumeration, and the unbounded closure
+    equals the brute-force fixpoint."""
+    import random
+
+    from serd_spark.operators.kg import bgp_path_quant
+
+    for seed in (5, 77, 901):
+        rng = random.Random(seed)
+        nodes = [f"v{i}" for i in range(8)]
+        tri = {(rng.choice(nodes), "e", rng.choice(nodes))
+               for _ in range(14)}
+        t = _triples_df(spark, sorted(tri))
+        edges = {(s, o) for (s, _, o) in tri}
+        terms = {s for (s, _, _) in tri} | {o for (_, _, o) in tri}
+        by_len = {1: set(edges)}
+        for k in range(2, 6):
+            by_len[k] = {(a, c) for (a, b) in by_len[k - 1]
+                         for (b2, c) in edges if b == b2}
+        lo = rng.randint(0, 3)
+        hi = rng.randint(lo, 5)
+        exp = set().union(*(by_len[k]
+                            for k in range(max(lo, 1), hi + 1))) \
+            if hi >= 1 else set()
+        if lo == 0:
+            exp |= {(n, n) for n in terms}
+        got = {(r.a, r.z) for r in
+               bgp_path_quant(t, "e", lo, hi).collect()}
+        assert got == exp, f"seed {seed} range {lo},{hi}"
+
+        closure = set(edges)
+        while True:
+            new = closure | {(a, c) for (a, b) in closure
+                             for (b2, c) in edges if b == b2}
+            if new == closure:
+                break
+            closure = new
+        got_star = {(r.a, r.z) for r in
+                    bgp_path_quant(t, "e", 0).collect()}
+        assert got_star == closure | {(n, n) for n in terms}, seed
+
+
+def test_bgp_minus_semantics(spark):
+    """MINUS removes bindings compatible on the shared variables,
+    returns the left side UNCHANGED on disjoint domains (the
+    MINUS-vs-NOT-EXISTS distinction), and validates explicit on."""
+    from serd_spark.operators.kg import bgp_minus
+
+    left = spark.createDataFrame(
+        [("s1", "a"), ("s2", "b"), ("s3", "c")], "s string, v string")
+    pat = spark.createDataFrame(
+        [("s2", "zz"), ("s9", "q")], "s string, other string")
+    got = {(r.s, r.v) for r in bgp_minus(left, pat).collect()}
+    assert got == {("s1", "a"), ("s3", "c")}
+
+    # multi-column shared set: BOTH must match to remove
+    pat2 = spark.createDataFrame(
+        [("s1", "a"), ("s3", "zz")], "s string, v string")
+    got2 = {(r.s, r.v) for r in bgp_minus(left, pat2).collect()}
+    assert got2 == {("s2", "b"), ("s3", "c")}
+    # restricting the shared set widens the removal
+    got3 = {(r.s, r.v)
+            for r in bgp_minus(left, pat2, on=["s"]).collect()}
+    assert got3 == {("s2", "b")}
+
+    disj = spark.createDataFrame([("x",)], "w string")
+    assert bgp_minus(left, disj).count() == 3
+
+    with pytest.raises(ValueError, match="missing"):
+        bgp_minus(left, pat, on=["nope"])
+
+
+def _quads_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "g string, s string, p string, o string")
+
+
+def test_bgp_graph_scoped_arms(spark):
+    """GRAPH <iri> (constant filter) and GRAPH ?g (carry_graph) on
+    the three BGP verbs: arms must co-match within one named graph,
+    and a triple-only table is rejected."""
+    from serd_spark.operators.kg import (
+        bgp_2hop,
+        bgp_not_exists,
+        bgp_star,
+    )
+
+    q2 = _quads_df(spark, [
+        ("g1", "a", "p1", "b"), ("g1", "b", "p2", "c"),
+        ("g2", "a", "p1", "b"), ("g2", "b", "p2", "w"),
+    ])
+    un = {(r.a, r.c) for r in bgp_2hop(q2, "p1", "p2").collect()}
+    assert un == {("a", "c"), ("a", "w")}  # cross-graph when unscoped
+    g2 = {(r.a, r.c)
+          for r in bgp_2hop(q2, "p1", "p2", graph="g2").collect()}
+    assert g2 == {("a", "w")}
+    carried = {(r.g, r.a, r.c) for r in
+               bgp_2hop(q2, "p1", "p2", carry_graph=True).collect()}
+    assert carried == {("g1", "a", "c"), ("g2", "a", "w")}
+
+    qs = _quads_df(spark, [
+        ("g1", "s1", "p1", "v1"), ("g1", "s1", "p2", "u1"),
+        ("g2", "s1", "p1", "v2"),  # no p2 in g2
+    ])
+    star = {(r.g, r.s, r.o1, r.o2) for r in
+            bgp_star(qs, ["p1", "p2"], carry_graph=True).collect()}
+    assert star == {("g1", "s1", "v1", "u1")}
+    star_opt = {(r.g, r.s, r.o1, r.opt1) for r in bgp_star(
+        qs, ["p1"], optional_preds=["p2"],
+        carry_graph=True).collect()}
+    assert star_opt == {("g1", "s1", "v1", "u1"),
+                        ("g2", "s1", "v2", None)}
+
+    qn = _quads_df(spark, [
+        ("g1", "s2", "p1", "o1"),
+        ("g2", "s2", "p1", "o2"), ("g2", "s2", "p3", "x"),
+    ])
+    # unscoped: s2 has p3 SOMEWHERE -> dropped everywhere
+    assert bgp_not_exists(qn, "p1", "p3").count() == 0
+    ne = {(r.g, r.s, r.o) for r in bgp_not_exists(
+        qn, "p1", "p3", carry_graph=True).collect()}
+    assert ne == {("g1", "s2", "o1")}  # absence is per named graph
+
+    t = spark.createDataFrame([("a", "p1", "b")],
+                              "s string, p string, o string")
+    with pytest.raises(ValueError, match="'g' column"):
+        bgp_2hop(t, "p1", "p2", carry_graph=True)
+    with pytest.raises(ValueError, match="'g' column"):
+        bgp_star(t, ["p1"], graph="g1")
+
+
+def test_bgp_graph_const_exchange_free_over_buckets(spark):
+    """A constant GRAPH filter keeps the star's join key at s, so
+    over a subject-bucketed quad table the scoped star still plans
+    with ZERO Exchange nodes and the g filter pushes to the scan."""
+    from serd_spark.operators.kg import bgp_star
+    from serd_spark.operators.materialize import write_bucketed_triples
+
+    rows = [(f"g{i % 2}", f"s{i}", p, f"{p}v{i % 3}")
+            for i in range(60) for p in ("p1", "p2")]
+    q = _quads_df(spark, rows)
+    write_bucketed_triples(q, "t_bgp_gplan_test", n_buckets=4)
+    bt = spark.table("t_bgp_gplan_test")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bgp_star(bt, ["p1", "p2"], graph="g1")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        assert "EqualTo(g,g1)" in plan, plan
+        got = {(r.s, r.o1, r.o2) for r in df.collect()}
+        assert got == {(f"s{i}", f"p1v{i % 3}", f"p2v{i % 3}")
+                       for i in range(60) if i % 2 == 1}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bgp_gplan_test")
