@@ -3269,6 +3269,54 @@ def _o_kg_parse_nt(_: str) -> str:
     """
 
 
+_TRIPLE_FIXTURES: dict = {}
+
+
+def _cached_triples(spark: SparkSession, sf_dir: str, name: str,
+                    builder) -> DataFrame:
+    """Session-scoped materialized triple fixture (VERDICT r6 #3):
+    the kg contract rows share two parsed corpora
+    (:func:`_order_cust_nation_triples`, :func:`_turtle_orders_
+    triples`), and re-deriving the parse inline per query cost the
+    bench headline ~45-60 s while adding nothing to oracle isolation
+    — each query's gated surface is its OPERATOR over a materialized
+    triple table (the production read path), not the parse, which
+    keeps its own dedicated gates (kg_parse_nt, kg_turtle_expand,
+    kg_triple_pr, kg_named_graphs, nt_roundtrip).
+
+    The fixture materializes ONCE per (SparkSession, sf_dir, variant)
+    via localCheckpoint — the same materialized-table stand-in the
+    queries already used per-call — and oracle isolation is preserved
+    BY PROOF instead of by recomputation:
+    ``tests/test_entry_oracles.py::test_cached_fixture_equals_inline``
+    asserts the cached fixture row-identical to a fresh inline
+    derivation."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TRIPLE_FIXTURES.get(key)
+    if df is None:
+        df = builder().localCheckpoint()
+        _TRIPLE_FIXTURES[key] = df
+    return df
+
+
+def _order_cust_nation_cached(
+    spark: SparkSession, sf_dir: str, with_region: bool = False,
+) -> DataFrame:
+    return _cached_triples(
+        spark, sf_dir, f"ocn_region={with_region}",
+        lambda: _order_cust_nation_triples(spark, sf_dir,
+                                           with_region=with_region))
+
+
+def _turtle_orders_cached(
+    spark: SparkSession, sf_dir: str, with_clerk: bool = False,
+) -> DataFrame:
+    return _cached_triples(
+        spark, sf_dir, f"turtle_clerk={with_clerk}",
+        lambda: _turtle_orders_triples(spark, sf_dir,
+                                       with_clerk=with_clerk))
+
+
 def _order_cust_nation_triples(
     spark: SparkSession, sf_dir: str, with_region: bool = False,
 ) -> DataFrame:
@@ -3278,7 +3326,8 @@ def _order_cust_nation_triples(
     real ``write_bucketed_triples`` materialization).  With
     ``with_region`` the corpus additionally carries nation→region
     edges, giving kg_path3 a third hop; the default corpus is
-    unchanged so the 2-hop oracles keep enumerating it exactly."""
+    unchanged so the 2-hop oracles keep enumerating it exactly.
+    Queries consume it through :func:`_order_cust_nation_cached`."""
     from pyspark.sql import Window
 
     from serd_spark.operators.parse import (
@@ -3349,11 +3398,13 @@ def _q_kg_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # bgp_* operators assume a MATERIALIZED triple table (each arm
     # re-reads it); feeding the live parse plan directly would make
-    # Spark re-run the whole parse once per arm — localCheckpoint is
-    # the query-local stand-in for the materialized table
-    # (kg_2hop_bucketed exercises the real bucketed-table form).
-    triples = _order_cust_nation_triples(spark, sf_dir)
-    return bgp_2hop(triples.localCheckpoint(),
+    # Spark re-run the whole parse once per arm — the session-scoped
+    # cached fixture (localCheckpoint, proven row-identical to the
+    # inline derivation by test_cached_fixture_equals_inline) is the
+    # stand-in for the materialized table (kg_2hop_bucketed exercises
+    # the real bucketed-table form).
+    triples = _order_cust_nation_cached(spark, sf_dir)
+    return bgp_2hop(triples,
                     "urn:schema:cust", "urn:schema:nation",
                     out_cols=("order_iri", "nation_iri"))
 
@@ -3372,7 +3423,7 @@ def _q_kg_2hop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.kg import bgp_2hop
     from serd_spark.operators.materialize import write_bucketed_triples
 
-    triples = _order_cust_nation_triples(spark, sf_dir)
+    triples = _order_cust_nation_cached(spark, sf_dir)
     write_bucketed_triples(triples, "serd_triples_2hop", n_buckets=8)
     return bgp_2hop(spark.table("serd_triples_2hop"),
                     "urn:schema:cust", "urn:schema:nation",
@@ -3396,7 +3447,7 @@ def _q_kg_turtle_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     with pure string ops — the grammar's fan-out and the Env expansion
     both sit under the exact-equality gate (the rows-only
     kg_parse_turtle keeps covering the generator-driven corpus)."""
-    triples = _turtle_orders_triples(spark, sf_dir)
+    triples = _turtle_orders_cached(spark, sf_dir)
     return triples.select(
         "s", "p", "o", F.col("o_type").cast("int").alias("o_type"))
 
@@ -3454,7 +3505,7 @@ def _q_kg_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.kg import bgp_star
 
     # localCheckpoint = the materialized-table stand-in (see kg_2hop)
-    triples = _turtle_orders_triples(spark, sf_dir).localCheckpoint()
+    triples = _turtle_orders_cached(spark, sf_dir)
     return bgp_star(triples,
                     ["urn:schema:status", "urn:schema:cust"],
                     ["status", "cust_iri"])
@@ -3486,8 +3537,8 @@ def _q_kg_star_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.kg import bgp_star
 
     # localCheckpoint = the materialized-table stand-in (see kg_2hop)
-    triples = _turtle_orders_triples(
-        spark, sf_dir, with_clerk=True).localCheckpoint()
+    triples = _turtle_orders_cached(
+        spark, sf_dir, with_clerk=True)
     return bgp_star(triples,
                     ["urn:schema:status", "urn:schema:cust"],
                     ["status", "cust_iri"],
@@ -3519,8 +3570,8 @@ def _q_kg_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     (o_orderkey % 3 <> 0)."""
     from serd_spark.operators.kg import bgp_not_exists
 
-    triples = _turtle_orders_triples(
-        spark, sf_dir, with_clerk=True).localCheckpoint()
+    triples = _turtle_orders_cached(
+        spark, sf_dir, with_clerk=True)
     return bgp_not_exists(triples, "urn:schema:cust",
                           "urn:schema:clerk", out_col="cust_iri")
 
@@ -3542,8 +3593,8 @@ def _q_kg_char_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subject set assembly + the shape census end to end."""
     from serd_spark.operators.kg import characteristic_sets
 
-    triples = _turtle_orders_triples(
-        spark, sf_dir, with_clerk=True).localCheckpoint()
+    triples = _turtle_orders_cached(
+        spark, sf_dir, with_clerk=True)
     return characteristic_sets(triples)
 
 
@@ -3615,8 +3666,8 @@ def _q_kg_path3(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row hash-gates parse + 3-hop chain end to end."""
     from serd_spark.operators.kg import bgp_path
 
-    triples = _order_cust_nation_triples(
-        spark, sf_dir, with_region=True).localCheckpoint()
+    triples = _order_cust_nation_cached(
+        spark, sf_dir, with_region=True)
     return bgp_path(
         triples,
         ["urn:schema:cust", "urn:schema:nation", "urn:schema:region"],
@@ -3642,7 +3693,7 @@ def _q_kg_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors with a literal VALUES clause."""
     from serd_spark.operators.kg import bgp_values
 
-    triples = _turtle_orders_triples(spark, sf_dir).localCheckpoint()
+    triples = _turtle_orders_cached(spark, sf_dir)
     return bgp_values(
         triples, "urn:schema:status",
         [("F", "closed"), ("O", "open")], ["status", "grade"])
@@ -4174,6 +4225,161 @@ def _o_kg_rdfs(_: str) -> str:
     """
 
 
+def _kg_octree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orderkey-octree edge graph as (s, p, o) triples — the same
+    genuinely data-dependent tree kg_reachability walks (edge
+    floor(k/8) → k for every non-'P' order k ≥ 1: a missing edge
+    prunes the whole subtree), IRI-minted so the quantified-path rows
+    gate string-keyed plans like every other BGP row."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.where(
+        (F.col("o_orderkey") >= 1) & (F.col("o_orderstatus") != "P")
+    ).select(
+        F.concat(F.lit("urn:n:"),
+                 F.floor(F.col("o_orderkey") / 8).cast("long"))
+        .alias("s"),
+        F.lit("urn:schema:child").alias("p"),
+        F.concat(F.lit("urn:n:"), "o_orderkey").alias("o"))
+
+
+_KG_OCTREE_EDGES_SQL = """
+        SELECT 'urn:n:' || CAST(o_orderkey // 8 AS BIGINT) AS src,
+               'urn:n:' || o_orderkey AS dst
+        FROM orders WHERE o_orderkey >= 1 AND o_orderstatus <> 'P'"""
+
+
+def _q_kg_path_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL quantified path ``?a child{2,3} ?z`` under the exact
+    gate: bounded repetition over the data-dependent orderkey octree
+    (grandchildren and great-grandchildren of every node) — the
+    fixed-range form between bgp_path's fixed chains and
+    bfs_levels' seeded ``p+``.  The oracle enumerates length-2 and
+    length-3 compositions directly (the tree is acyclic, so plain
+    self-joins are exact)."""
+    from serd_spark.operators.kg import bgp_path_quant
+
+    t = _kg_octree_edges(spark, sf_dir)
+    return bgp_path_quant(t, "urn:schema:child", 2, 3,
+                          out_cols=("a", "z"))
+
+
+def _o_kg_path_quant(_: str) -> str:
+    return f"""
+    WITH e AS ({_KG_OCTREE_EDGES_SQL})
+    SELECT DISTINCT a, z FROM (
+        SELECT e1.src AS a, e2.dst AS z
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        UNION ALL
+        SELECT e1.src, e3.dst
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                  JOIN e e3 ON e2.dst = e3.src)
+    """
+
+
+def _q_kg_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``child*`` (reflexive-transitive closure, both ends
+    unbound) under the exact gate: the visited-pair fixpoint plus the
+    zero-length row binding every graph term to itself — the
+    ``rdfs:subClassOf*`` query shape.  The oracle is a recursive CTE
+    (acyclic tree) unioned with the term identity."""
+    from serd_spark.operators.kg import bgp_path_quant
+
+    t = _kg_octree_edges(spark, sf_dir)
+    return bgp_path_quant(t, "urn:schema:child", 0, None,
+                          out_cols=("a", "z"))
+
+
+def _o_kg_path_star(_: str) -> str:
+    return f"""
+    WITH RECURSIVE e AS ({_KG_OCTREE_EDGES_SQL}),
+    c AS (
+        SELECT src AS a, dst AS z FROM e
+        UNION ALL
+        SELECT c.a, e.dst FROM c JOIN e ON c.z = e.src)
+    SELECT a, z FROM (
+        SELECT a, z FROM c
+        UNION
+        SELECT t AS a, t AS z FROM (
+            SELECT src AS t FROM e UNION SELECT dst FROM e))
+    """
+
+
+def _q_kg_graph_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GRAPH ?g { ?s :cust ?c . ?s :prio ?p }`` under the exact
+    gate: parse an NQ quad corpus (every order publishes its cust +
+    prio statements into the graph named after its status; every 3rd
+    order ALSO asserts a decoy prio into a separate graph) and run
+    the carry_graph star — both arms must co-match within ONE named
+    graph, so the decoy graph (prio but no cust) binds nothing and
+    cross-graph pairings never appear.  The oracle enumerates the
+    surviving (g, s, cust, prio) rows from orders directly."""
+    from serd_spark.operators.kg import bgp_star
+    from serd_spark.operators.parse import (
+        parse_documents,
+        split_quarantine,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lit("<urn:order:"), "o_orderkey",
+        F.lit("> <urn:schema:cust> <urn:cust:"), "o_custkey",
+        F.lit("> <urn:graph:"), "o_orderstatus", F.lit("> .\n"),
+        F.lit("<urn:order:"), "o_orderkey",
+        F.lit("> <urn:schema:prio> \""), "o_orderpriority",
+        F.lit("\" <urn:graph:"), "o_orderstatus", F.lit("> ."),
+        F.when(F.col("o_orderkey") % 3 == 0, F.concat(
+            F.lit("\n<urn:order:"), "o_orderkey",
+            F.lit("> <urn:schema:prio> \"decoy\" <urn:graph:x> .")))
+        .otherwise(F.lit("")))
+    tdf = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        .alias("conv_id"),
+        F.col("o_orderkey").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"), line.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    t, _ = split_quarantine(parse_documents(tdf, syntax="nquads"))
+    return bgp_star(t, ["urn:schema:cust", "urn:schema:prio"],
+                    ["cust_iri", "prio"], carry_graph=True)
+
+
+def _o_kg_graph_scoped(_: str) -> str:
+    return """
+    SELECT 'urn:graph:' || o_orderstatus AS g,
+           'urn:order:' || o_orderkey AS s,
+           'urn:cust:' || o_custkey AS cust_iri,
+           o_orderpriority AS prio
+    FROM orders
+    """
+
+
+def _q_kg_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS under the exact gate: the status profile of
+    every order MINUS the bindings of orders that carry a clerk —
+    set subtraction on the shared ``?s`` (the clerked corpus is the
+    with_clerk Turtle fixture, parsed by the real grammar), next to
+    kg_not_exists' correlated-absence form of the same question.
+    The oracle enumerates the surviving two status rows of every
+    non-clerk (orderkey % 3 ≠ 0) order."""
+    from serd_spark.operators.kg import bgp_minus, bgp_star
+
+    t = _turtle_orders_cached(spark, sf_dir, with_clerk=True)
+    left = bgp_star(t, ["urn:schema:status"], ["status"])
+    pattern = bgp_star(t, ["urn:schema:clerk"], ["clerk"])
+    return bgp_minus(left, pattern)  # shared variable set = {s}
+
+
+def _o_kg_minus(_: str) -> str:
+    return """
+    SELECT 'urn:order:' || o_orderkey AS s,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 'urn:order:' || o_orderkey, 'p' || (o_orderkey % 5)
+    FROM orders WHERE o_orderkey % 3 <> 0
+    """
+
+
 def _o_kg_turtle_expand(_: str) -> str:
     return """
     SELECT 'urn:order:' || o_orderkey AS s,
@@ -4227,26 +4433,109 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = verification priority, NOT topic grouping.
 
-    The external correctness gate records the FIRST 50 entries, so the
-    dict is ordered least-recently-driver-verified first: (1) the 21
-    entries that got no round-4 driver row (the r4 registry's tail),
-    (2) queries whose implementation changed this round (the
-    iterative-rank quantization) and brand-new contract queries,
-    (3) family-adjacent re-verifications, and only then (4) the
-    long-stable basics that were hash-green in round 4 and are
-    untouched since.  New queries must be inserted in group (2), not
-    mid-list — pushing a verified entry past position 50 silently
-    drops it from the external gate (the round-4 lesson).  Each round,
-    rotate: entries that sat below the window last round move to the
-    front (they are now the least-recently-driver-verified), so every
-    oracle gets a fresh external row at least every other round.
+    The external correctness gate records the FIRST 50 entries, so
+    the dict is ordered least-recently-driver-verified first, and the
+    window rotates every round: entries that sat below last round's
+    window move to the front.  New queries insert at the TOP (they
+    are the never-verified rows); pushing a verified entry past
+    position 50 silently drops it from the external gate (the
+    round-4 lesson).
 
-    Round-6 window: (1) the 43 entries below the round-5 window
-    (r4-green, untouched since — now the least-recently-verified),
-    then (2) queries changed or new this round.  Everything below the
-    line was driver-green in round 5 and is untouched since."""
+    Round-7 window: (1) the 17 never-driver-verified rows — the 13
+    added after the round-6 window filled, then this round's four
+    new SPARQL-surface rows (quantified paths, p*, GRAPH-scoped
+    star, MINUS); (2) the 33 highest-complexity entries whose last
+    external row is round 5.  Below the line: the remaining 15
+    round-5-verified rows followed by the 35 round-6-verified rows —
+    EXACTLY the 50 that form the round-8 window, so every live row's
+    external verification stays ≤ 2 rounds old (VERDICT r6 #8).
+
+    Size policy (VERDICT r6 #8): the LIVE registry is capped at 100
+    entries — two gate windows — so the rotation period never
+    exceeds two rounds.  Long-stable basics past that budget retire
+    to the pytest-only tier (:func:`retired_queries` /
+    :func:`retired_oracle_sql`): still oracle-gated exact-equality
+    in every pytest run and still measured by bench.py, but no
+    longer eligible for driver rows.  Retired this round (each
+    hash-green in the r4, r5 AND r6 driver gates, untouched since
+    r2-r3): agg_pricing, broadcast_expand, anti_join_undefined,
+    window_stmt_idx, explode_fanout, sorted_topk, join_revenue,
+    set_ops, langid, fingerprint, token_counts, vocab_topk,
+    stratified_sample, doc_profile, repetition."""
     return {
-        # -- (1) below the round-5 window (r4-green, rotated in) -------
+        # -- (1a) NEVER driver-verified: added after the round-6
+        #    window filled (front-loaded per the r6 VERDICT) ---------
+        "kg_path3": _q_kg_path3,
+        "kg_values": _q_kg_values,
+        "kg_triple_pr": _q_kg_triple_pr,
+        "kg_path_alt": _q_kg_path_alt,
+        "kg_sameas": _q_kg_sameas,
+        "kg_delta": _q_kg_delta,
+        "kg_named_graphs": _q_kg_named_graphs,
+        "kg_rdfs": _q_kg_rdfs,
+        "kg_apply_delta": _q_kg_apply_delta,
+        "kg_describe": _q_kg_describe,
+        "kg_construct": _q_kg_construct,
+        "kg_ask": _q_kg_ask,
+        "tool_stats": _q_tool_stats,
+        # -- (1b) NEVER driver-verified: new this round --------------
+        "kg_path_quant": _q_kg_path_quant,
+        "kg_path_star": _q_kg_path_star,
+        "kg_graph_scoped": _q_kg_graph_scoped,
+        "kg_minus": _q_kg_minus,
+        # -- (2) last verified round 5: complex/kg/ann/graph first ---
+        "simhash_pairs": _q_simhash_pairs,
+        "tfidf_cosine": _q_tfidf_cosine,
+        "semantic_decon": _q_semantic_decon,
+        "ivf_cells": _q_ivf_cells,
+        "asof_attrib": _q_asof_attrib,
+        "kg_entity_link": _q_kg_entity_link,
+        "kg_comention": _q_kg_comention,
+        "kg_substring_mentions": _q_kg_substring_mentions,
+        "kg_parse_nt": _q_kg_parse_nt,
+        "kg_parse_turtle": _q_kg_parse_turtle,
+        "srp_ann": _q_srp_ann,
+        "ivf_ann": _q_ivf_ann,
+        "pagerank": _q_pagerank,
+        "kg_entity_rank": _q_kg_entity_rank,
+        "winnowing_matches": _q_winnowing_matches,
+        "kg_2hop": _q_kg_2hop,
+        "domain_cograph": _q_domain_cograph,
+        "domain_rank": _q_domain_rank,
+        "ffd_pack": _q_ffd_pack,
+        "kg_turtle_expand": _q_kg_turtle_expand,
+        "skew_join": _q_skew_join,
+        "lpa_communities": _q_lpa_communities,
+        "prefix_jaccard": _q_prefix_jaccard,
+        "sliding_chunks": _q_sliding_chunks,
+        "random_project": _q_random_project,
+        "curation_pipeline": _q_curation_pipeline,
+        "interval_join": _q_interval_join,
+        "lm_heldout": _q_lm_heldout,
+        "lm_score": _q_lm_score,
+        "kg_relations": _q_kg_relations,
+        "graph_degrees": _q_graph_degrees,
+        "triangle_count": _q_triangle_count,
+        "kcore": _q_kcore,
+        # ---- external gate window ends here (position 50) ----------
+        # -- (3) last verified round 5: stable session/event family —
+        #    the first 15 of the round-8 window ----------------------
+        "sessionize": _q_sessionize,
+        "funnel": _q_funnel,
+        "rolling_revenue": _q_rolling_revenue,
+        "corpus_diff": _q_corpus_diff,
+        "error_rates": _q_error_rates,
+        "value_outliers": _q_value_outliers,
+        "profile_columns": _q_profile_columns,
+        "quality_buckets": _q_quality_buckets,
+        "role_transitions": _q_role_transitions,
+        "retention": _q_retention,
+        "props_stats": _q_props_stats,
+        "shipping_priority": _q_shipping_priority,
+        "late_shipping": _q_late_shipping,
+        "region_rollup": _q_region_rollup,
+        "status_pivot": _q_status_pivot,
+        # -- (4) round-6 driver-green: the rest of the r8 window -----
         "winnowing": _q_winnowing,
         "nt_roundtrip": _q_nt_roundtrip,
         "exact_dedup": _q_exact_dedup,
@@ -4268,6 +4557,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": _q_pack_chunks,
         "stratified_take": _q_stratified_take,
         "quality": _q_quality,
+        "langid_eval": _q_langid_eval,
+        "pii_scrub": _q_pii_scrub,
+        "clean_corpus": _q_clean_corpus,
+        "domain_stats": _q_domain_stats,
+        "domain_filter": _q_domain_filter,
+        "compression_quality": _q_compression_quality,
+        "bpe_tokens_real": _q_bpe_tokens_real,
+        "embedding_quantize": _q_embedding_quantize,
+        "kg_star": _q_kg_star,
+        "kg_star_optional": _q_kg_star_optional,
+        "kg_2hop_bucketed": _q_kg_2hop_bucketed,
+        "kg_reachability": _q_kg_reachability,
+        "kg_not_exists": _q_kg_not_exists,
+        "kg_char_sets": _q_kg_char_sets,
+    }
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str],
+                                            DataFrame]]:
+    """The pytest-only tier (see :func:`queries` size policy): basics
+    retired from the live registry after three consecutive hash-green
+    driver rounds (r4/r5/r6) with no source change since r2-r3.
+    Still exact-equality-gated by tests/test_entry_oracles.py and
+    still in bench.py's HEADLINE; not eligible for driver rows."""
+    return {
         "agg_pricing": _q_agg_pricing,
         "broadcast_expand": _q_broadcast_expand,
         "anti_join_undefined": _q_anti_join_undefined,
@@ -4277,101 +4591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue": _q_join_revenue,
         "set_ops": _q_set_ops,
         "langid": _q_langid,
-        "langid_eval": _q_langid_eval,
         "fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
         "vocab_topk": _q_vocab_topk,
         "stratified_sample": _q_stratified_sample,
         "doc_profile": _q_doc_profile,
         "repetition": _q_repetition,
-        "pii_scrub": _q_pii_scrub,
-        "clean_corpus": _q_clean_corpus,
-        "domain_stats": _q_domain_stats,
-        "domain_filter": _q_domain_filter,
-        "compression_quality": _q_compression_quality,
-        "bpe_tokens_real": _q_bpe_tokens_real,
-        # -- (2) changed or new this round -----------------------------
-        "embedding_quantize": _q_embedding_quantize,
-        "kg_star": _q_kg_star,
-        "kg_star_optional": _q_kg_star_optional,
-        "kg_2hop_bucketed": _q_kg_2hop_bucketed,
-        "kg_reachability": _q_kg_reachability,
-        "kg_not_exists": _q_kg_not_exists,
-        "kg_char_sets": _q_kg_char_sets,
-        # ---- external gate window ends here (position 50) ------------
-        # -- (2b) new after the window filled (oracle-green in the
-        #    repo simulation this round at sf0.001 AND sf0.01; first
-        #    in line for the round-7 window as the only
-        #    never-driver-verified rows: kg_path3 .. kg_describe) --
-        "kg_path3": _q_kg_path3,
-        "kg_values": _q_kg_values,
-        "kg_triple_pr": _q_kg_triple_pr,
-        "kg_path_alt": _q_kg_path_alt,
-        "kg_sameas": _q_kg_sameas,
-        "kg_delta": _q_kg_delta,
-        "kg_named_graphs": _q_kg_named_graphs,
-        "kg_rdfs": _q_kg_rdfs,
-        "kg_apply_delta": _q_kg_apply_delta,
-        "kg_describe": _q_kg_describe,
-        "kg_construct": _q_kg_construct,
-        "kg_ask": _q_kg_ask,
-        "tool_stats": _q_tool_stats,
-        # -- (3) round-5 driver-green ----------------------------------
-        # (simhash_pairs and tfidf_cosine lead group 3 — both r5
-        #  hash-green, both yielded their slots to the never-verified
-        #  BGP shapes: simhash_pairs' only round-6 change is the
-        #  mechanical _simhash_bands extraction, value-identical and
-        #  re-proven by its oracle in the full pytest simulation;
-        #  tfidf_cosine is untouched and its 6-dp float gate is now
-        #  pinned by the partitioning-stability property test)
-        "simhash_pairs": _q_simhash_pairs,
-        "tfidf_cosine": _q_tfidf_cosine,
-        "semantic_decon": _q_semantic_decon,
-        "ivf_cells": _q_ivf_cells,
-        "sessionize": _q_sessionize,
-        "funnel": _q_funnel,
-        "rolling_revenue": _q_rolling_revenue,
-        "corpus_diff": _q_corpus_diff,
-        "error_rates": _q_error_rates,
-        "value_outliers": _q_value_outliers,
-        "profile_columns": _q_profile_columns,
-        "quality_buckets": _q_quality_buckets,
-        "role_transitions": _q_role_transitions,
-        "retention": _q_retention,
-        "props_stats": _q_props_stats,
-        "asof_attrib": _q_asof_attrib,
-        "kg_entity_link": _q_kg_entity_link,
-        "kg_comention": _q_kg_comention,
-        "kg_substring_mentions": _q_kg_substring_mentions,
-        "kg_parse_nt": _q_kg_parse_nt,
-        "kg_parse_turtle": _q_kg_parse_turtle,
-        "srp_ann": _q_srp_ann,
-        "ivf_ann": _q_ivf_ann,
-        "pagerank": _q_pagerank,
-        "kg_entity_rank": _q_kg_entity_rank,
-        "winnowing_matches": _q_winnowing_matches,
-        "kg_2hop": _q_kg_2hop,
-        "domain_cograph": _q_domain_cograph,
-        "domain_rank": _q_domain_rank,
-        "ffd_pack": _q_ffd_pack,
-        "kg_turtle_expand": _q_kg_turtle_expand,
-        "skew_join": _q_skew_join,
-        "lpa_communities": _q_lpa_communities,
-        "prefix_jaccard": _q_prefix_jaccard,
-        "shipping_priority": _q_shipping_priority,
-        "late_shipping": _q_late_shipping,
-        "region_rollup": _q_region_rollup,
-        "status_pivot": _q_status_pivot,
-        "sliding_chunks": _q_sliding_chunks,
-        "random_project": _q_random_project,
-        "curation_pipeline": _q_curation_pipeline,
-        "interval_join": _q_interval_join,
-        "lm_heldout": _q_lm_heldout,
-        "lm_score": _q_lm_score,
-        "kg_relations": _q_kg_relations,
-        "graph_degrees": _q_graph_degrees,
-        "triangle_count": _q_triangle_count,
-        "kcore": _q_kcore,
     }
 
 
@@ -4379,14 +4604,6 @@ def oracle_sql() -> dict[str, str]:
     sf = ""
     return {
         "nt_roundtrip": _o_nt_roundtrip(sf),
-        "agg_pricing": _o_agg_pricing(sf),
-        "broadcast_expand": _o_broadcast_expand(sf),
-        "anti_join_undefined": _o_anti_join_undefined(sf),
-        "window_stmt_idx": _o_window_stmt_idx(sf),
-        "explode_fanout": _o_explode_fanout(sf),
-        "sorted_topk": _o_sorted_topk(sf),
-        "join_revenue": _o_join_revenue(sf),
-        "set_ops": _o_set_ops(sf),
         "exact_dedup": _o_exact_dedup(sf),
         "dedup_keep_best": _o_dedup_keep_best(sf),
         "minhash_lsh": _o_minhash_lsh(sf),
@@ -4408,18 +4625,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _o_simhash(sf),
         "cosine_topk": _o_cosine_topk(sf),
         "quality": _o_quality(sf),
-        "langid": _o_langid(sf),
         "langid_eval": _o_langid_eval(sf),
         "lm_score": _o_lm_score(sf),
         "winnowing": _o_winnowing(sf),
         "winnowing_matches": _o_winnowing_matches(sf),
-        "fingerprint": _o_fingerprint(sf),
-        "token_counts": _o_token_counts(sf),
-        "vocab_topk": _o_vocab_topk(sf),
-        "stratified_sample": _o_stratified_sample(sf),
         "stratified_take": _o_stratified_take(sf),
-        "doc_profile": _o_doc_profile(sf),
-        "repetition": _o_repetition(sf),
         "pii_scrub": _o_pii_scrub(sf),
         "clean_corpus": _o_clean_corpus(sf),
         "domain_stats": _o_domain_stats(sf),
@@ -4451,6 +4661,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_construct": _o_kg_construct(sf),
         "kg_ask": _o_kg_ask(sf),
         "tool_stats": _o_tool_stats(sf),
+        "kg_path_quant": _o_kg_path_quant(sf),
+        "kg_path_star": _o_kg_path_star(sf),
+        "kg_graph_scoped": _o_kg_graph_scoped(sf),
+        "kg_minus": _o_kg_minus(sf),
         "prefix_jaccard": _o_prefix_jaccard(sf),
         "tfidf_cosine": _o_tfidf_cosine(sf),
         "shipping_priority": _o_shipping_priority(sf),
@@ -4483,7 +4697,33 @@ def oracle_sql() -> dict[str, str]:
         "kg_comention": _o_kg_comention(sf),
         "kg_substring_mentions": _o_kg_substring_mentions(sf),
         "kg_parse_nt": _o_kg_parse_nt(sf),
-        # kg_parse_turtle, srp_ann, ivf_ann, compression_quality,
-        # bpe_tokens_real: non-SQL-expressible (Turtle grammar /
-        # bucketed ANN / zlib / BPE merge loop; rows-only checks)
+        # kg_parse_turtle, srp_ann, ivf_ann, ffd_pack,
+        # compression_quality, bpe_tokens_real: non-SQL-expressible
+        # (Turtle grammar / bucketed ANN / bin packing / zlib / BPE
+        # merge loop; rows-only checks)
+    }
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    """Exact DuckDB oracles for the retired tier — consumed by the
+    pytest gate (tests/test_entry_oracles.py merges live + retired),
+    kept out of :func:`oracle_sql` so the driver's window math sees
+    only live rows."""
+    sf = ""
+    return {
+        "agg_pricing": _o_agg_pricing(sf),
+        "broadcast_expand": _o_broadcast_expand(sf),
+        "anti_join_undefined": _o_anti_join_undefined(sf),
+        "window_stmt_idx": _o_window_stmt_idx(sf),
+        "explode_fanout": _o_explode_fanout(sf),
+        "sorted_topk": _o_sorted_topk(sf),
+        "join_revenue": _o_join_revenue(sf),
+        "set_ops": _o_set_ops(sf),
+        "langid": _o_langid(sf),
+        "fingerprint": _o_fingerprint(sf),
+        "token_counts": _o_token_counts(sf),
+        "vocab_topk": _o_vocab_topk(sf),
+        "stratified_sample": _o_stratified_sample(sf),
+        "doc_profile": _o_doc_profile(sf),
+        "repetition": _o_repetition(sf),
     }

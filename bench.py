@@ -63,6 +63,7 @@ HEADLINE = [
     "kg_sameas", "kg_delta", "kg_named_graphs", "kg_rdfs",
     "kg_apply_delta", "kg_describe", "kg_construct", "kg_ask",
     "tool_stats",
+    "kg_path_quant", "kg_path_star", "kg_graph_scoped", "kg_minus",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended
@@ -234,7 +235,9 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], list[float]]:
     spark.range(100000).select(_warm("id").alias("x")) \
         .agg(F.sum("x")).collect()
 
-    qs = entrymod.queries()
+    # live registry + the retired pytest-only tier: retirement changes
+    # driver-row eligibility, not the measured surface
+    qs = {**entrymod.queries(), **entrymod.retired_queries()}
     # TWO passes, per-query minima: this VM's run-to-run contention
     # swings individual queries 2-4x with zero code change (round-3
     # lesson); the min of two interleaved passes is a far better

@@ -57,10 +57,18 @@ def _rows_sorted(cols, rows):
     )
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def _all_queries():
+    return {**entrymod.queries(), **entrymod.retired_queries()}
+
+
+def _all_oracles():
+    return {**entrymod.oracle_sql(), **entrymod.retired_oracle_sql()}
+
+
+@pytest.mark.parametrize("name", sorted(_all_oracles().keys()))
 def test_query_matches_oracle(spark, name):
-    q = entrymod.queries()[name]
-    sql = entrymod.oracle_sql()[name]
+    q = _all_queries()[name]
+    sql = _all_oracles()[name]
 
     sdf = q(spark, SF_DIR)
     s_cols = sdf.columns
@@ -187,7 +195,7 @@ def test_contract_outputs_scalar_only(spark):
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     bad = []
-    for name, q in entrymod.queries().items():
+    for name, q in _all_queries().items():
         for f in q(spark, SF_DIR).schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append((name, f.name, f.dataType.simpleString()))
@@ -248,3 +256,35 @@ def test_lm_heldout_stable_under_partitioning(spark):
             assert fp
         else:
             assert fp == ref, f"partitioning {parts} changed values"
+
+
+def test_cached_fixture_equals_inline(spark):
+    """Oracle-isolation proof for the shared triple fixtures
+    (VERDICT r6 #3): the session-cached localCheckpointed fixture is
+    row-identical to a FRESH inline derivation of the same corpus,
+    and repeat access returns the cached object (no re-parse)."""
+    cases = [
+        ("ocn",
+         lambda: entrymod._order_cust_nation_cached(spark, SF_DIR),
+         lambda: entrymod._order_cust_nation_triples(spark, SF_DIR)),
+        ("ocn_region",
+         lambda: entrymod._order_cust_nation_cached(
+             spark, SF_DIR, with_region=True),
+         lambda: entrymod._order_cust_nation_triples(
+             spark, SF_DIR, with_region=True)),
+        ("turtle",
+         lambda: entrymod._turtle_orders_cached(spark, SF_DIR),
+         lambda: entrymod._turtle_orders_triples(spark, SF_DIR)),
+        ("turtle_clerk",
+         lambda: entrymod._turtle_orders_cached(
+             spark, SF_DIR, with_clerk=True),
+         lambda: entrymod._turtle_orders_triples(
+             spark, SF_DIR, with_clerk=True)),
+    ]
+    for name, cached, inline in cases:
+        c = cached()
+        assert cached() is c, f"{name}: cache missed on repeat access"
+        a = _rows_fingerprint(c)
+        b = _rows_fingerprint(inline())
+        assert a, f"{name}: empty fixture"
+        assert a == b, f"{name}: cached fixture differs from inline"
