@@ -1046,7 +1046,8 @@ def test_fused_queries_single_scan_no_join(spark):
         doc_length_profile(docs),
         exact_dedup_keep_best(docs),
         clean_corpus(docs),
-        E.queries()["stratified_sample"](spark, "/root/testdata/sf0.001"),
+        E.retired_queries()["stratified_sample"](
+            spark, "/root/testdata/sf0.001"),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         # the broadcast join with the tiny rate dim is the designed
