@@ -4339,7 +4339,12 @@ def _q_kg_graph_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"))
     t, _ = split_quarantine(parse_documents(tdf, syntax="nquads"))
-    return bgp_star(t, ["urn:schema:cust", "urn:schema:prio"],
+    # bgp_star reads the quad table once per arm — materialize the
+    # parse (the standard localCheckpoint stand-in, see kg_2hop) so
+    # the star scans the triple table rather than re-running the
+    # line parser per arm
+    return bgp_star(t.localCheckpoint(),
+                    ["urn:schema:cust", "urn:schema:prio"],
                     ["cust_iri", "prio"], carry_graph=True)
 
 
