@@ -288,3 +288,24 @@ def test_cached_fixture_equals_inline(spark):
         b = _rows_fingerprint(inline())
         assert a, f"{name}: empty fixture"
         assert a == b, f"{name}: cached fixture differs from inline"
+
+
+def test_registry_tiers_shape():
+    """Pin the registry size policy (VERDICT r6 #8): the LIVE
+    registry holds at most 100 entries (two 50-row gate windows, so
+    rotation never exceeds two rounds), the retired tier never
+    overlaps it, every live oracle key names a live query, retired
+    oracles mirror retired queries exactly, and bench.py's HEADLINE
+    measures only registered queries."""
+    import bench
+
+    live = entrymod.queries()
+    retired = entrymod.retired_queries()
+    assert len(live) <= 100, len(live)
+    assert not set(live) & set(retired)
+    assert set(entrymod.oracle_sql()) <= set(live)
+    assert set(entrymod.retired_oracle_sql()) == set(retired)
+    missing = [n for n in bench.HEADLINE
+               if n not in live and n not in retired]
+    assert not missing, missing
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))

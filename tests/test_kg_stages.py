@@ -1134,3 +1134,79 @@ def test_bgp_graph_const_exchange_free_over_buckets(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bgp_gplan_test")
+
+
+def test_bgp_minus_vs_not_exists_relation(spark):
+    """The SPARQL-spec relationship between the two negation verbs on
+    random graphs: over a single shared subject variable with both
+    sides non-null, MINUS removes exactly the subjects the pattern
+    binds — so it agrees with NOT EXISTS — while on DISJOINT domains
+    they split (MINUS keeps everything, NOT EXISTS would not)."""
+    import random
+
+    from serd_spark.operators.kg import (
+        bgp_minus,
+        bgp_not_exists,
+        bgp_star,
+    )
+
+    for seed in (3, 42):
+        rng = random.Random(seed)
+        rows = [(f"s{rng.randint(0, 12)}", rng.choice(["p1", "p2"]),
+                 f"v{rng.randint(0, 4)}") for _ in range(40)]
+        t = _triples_df(spark, sorted(set(rows)))
+        ne = {tuple(r) for r in
+              bgp_not_exists(t, "p1", "p2", out_col="v").collect()}
+        left = bgp_star(t, ["p1"], ["v"])
+        pat = bgp_star(t, ["p2"], ["w"])
+        mi = {tuple(r) for r in bgp_minus(left, pat).collect()}
+        assert mi == ne, f"seed {seed}"
+
+
+def test_bgp_path_quant_composes_with_bgp_path(spark):
+    """The documented composition for p{2,}: bgp_path fixed prefix
+    chained into bgp_path_quant's p+ equals brute-force 'length >= 2'
+    enumeration on a DAG."""
+    from serd_spark.operators.kg import bgp_path, bgp_path_quant
+
+    # a DAG: layered edges only flow to higher layers (no cycles, so
+    # brute force by composition terminates)
+    tri = [("a", "e", "b"), ("a", "e", "c"), ("b", "e", "d"),
+           ("c", "e", "d"), ("d", "e", "f")]
+    t = _triples_df(spark, tri)
+    prefix = bgp_path(t, ["e"], out_cols=("a", "_mid"))
+    plus = bgp_path_quant(t, "e", 1, None, out_cols=("_mid", "z"))
+    got = {(r.a, r.z) for r in
+           prefix.join(plus, "_mid").select("a", "z")
+           .distinct().collect()}
+    edges = {(s, o) for (s, _, o) in tri}
+    by_len = {1: set(edges)}
+    for k in (2, 3, 4):
+        by_len[k] = {(x, z) for (x, y) in by_len[k - 1]
+                     for (y2, z) in edges if y == y2}
+    want = by_len[2] | by_len[3] | by_len[4]
+    assert got == want
+
+
+def test_bgp_graph_carry_matches_per_graph_union(spark):
+    """GRAPH ?g semantics pinned by construction: carry_graph over a
+    random quad table equals running the UNSCOPED verb separately on
+    each graph's triples and unioning with the graph label."""
+    import random
+
+    from serd_spark.operators.kg import bgp_2hop
+
+    for seed in (7, 99):
+        rng = random.Random(seed)
+        rows = {(f"g{rng.randint(0, 2)}", f"n{rng.randint(0, 8)}",
+                 rng.choice(["p1", "p2"]), f"n{rng.randint(0, 8)}")
+                for _ in range(60)}
+        q = _quads_df(spark, sorted(rows))
+        got = {tuple(r) for r in
+               bgp_2hop(q, "p1", "p2", carry_graph=True).collect()}
+        want = set()
+        for g in ("g0", "g1", "g2"):
+            sub = q.where(F.col("g") == g)
+            for r in bgp_2hop(sub, "p1", "p2").collect():
+                want.add((g, r.a, r.c))
+        assert got == want, f"seed {seed}"
