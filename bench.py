@@ -330,7 +330,10 @@ def scaling_run(corpus_path: str, turns: int) -> dict:
             n_triples, sec = kg_parse_job(spark, corpus_path)
             for _ in range(SCALE_REPEATS - 1):
                 n2, s2 = kg_parse_job(spark, corpus_path)
-                assert n2 == n_triples
+                if n2 != n_triples:
+                    raise RuntimeError(
+                        f"nondeterministic parse across leg repeats:"
+                        f" {n_triples} vs {n2} triples")
                 sec = min(sec, s2)
         finally:
             spark.stop()

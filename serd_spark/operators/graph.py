@@ -324,8 +324,9 @@ def bfs_levels(
         .withColumn("level", F.lit(0)).localCheckpoint()
     visited = frontier
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    for _ in range(max_iters):
-        nxt = (
+
+    def _expand(frontier, visited):
+        return (
             e.join(frontier, e["_s"] == frontier["node"])
             .select(F.col("_d").alias("node"),
                     (F.col("level") + 1).alias("level"))
@@ -333,14 +334,23 @@ def bfs_levels(
             .join(visited.select("node"), "node", "left_anti")
             .localCheckpoint()
         )
+
+    for _ in range(max_iters):
+        nxt = _expand(frontier, visited)
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     else:
-        if on_max_iters == "raise":
+        # loop exhausted with a non-empty LAST frontier — the closure
+        # is incomplete only if that frontier still expands (a graph
+        # of depth exactly max_iters is complete; one extra
+        # frontier-sized probe join settles it instead of raising a
+        # false alarm)
+        if on_max_iters == "raise" \
+                and not _expand(frontier, visited).isEmpty():
             raise RuntimeError(
-                f"bfs_levels: frontier still non-empty after"
+                f"bfs_levels: frontier still expanding after"
                 f" max_iters={max_iters} rounds — the graph is deeper"
                 f" than the backstop; raise max_iters or pass"
                 f" on_max_iters='truncate' for the bounded"

@@ -724,25 +724,37 @@ def bgp_path_quant(
             if k >= n_min:
                 parts.append(frontier)
     elif step is not None:
-        visited = step
-        frontier = step
-        for _ in range(max_iters):
-            nxt = (
+        def _next(frontier, visited):
+            return (
                 frontier.join(nxt_step, "_z")
                 .select("_a", F.col("_z2").alias("_z"))
                 .distinct()
                 .join(visited, ["_a", "_z"], "left_anti")
                 .localCheckpoint())
+
+        visited = step
+        frontier = step
+        for _ in range(max_iters):
+            nxt = _next(frontier, visited)
             if nxt.isEmpty():
                 break
             visited = visited.unionByName(nxt).localCheckpoint()
             frontier = nxt
         else:
-            raise RuntimeError(
-                f"bgp_path_quant: pair frontier still non-empty after"
-                f" max_iters={max_iters} rounds — raise max_iters (the"
-                f" closure is deeper than the backstop)")
+            # complete iff the last frontier no longer expands (depth
+            # exactly max_iters is fine; see bfs_levels)
+            if not _next(frontier, visited).isEmpty():
+                raise RuntimeError(
+                    f"bgp_path_quant: pair frontier still expanding"
+                    f" after max_iters={max_iters} rounds — raise"
+                    f" max_iters (the closure is deeper than the"
+                    f" backstop)")
         parts.append(visited)
+    if not parts:
+        # n_min >= 2 with no path reaching length n_min (the bounded
+        # loop emptied early): a valid quantified-path query over
+        # sparse data returns ZERO rows, not a crash
+        parts.append(step.limit(0))
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)

@@ -595,8 +595,17 @@ def start_streaming_graph_delta(
         try:
             prior = spark.read.parquet(state_path).select(ks)
             seen = seen.unionByName(prior).distinct()
-        except Exception:  # noqa: BLE001 — first start: no state yet
-            pass
+        except Exception as e:
+            # ONLY a missing path means "first start".  Any other
+            # read failure (corrupt/partial parquet from a crash
+            # mid-append, transient FS error, schema drift) must
+            # propagate — silently falling back to the base snapshot
+            # would re-emit everything streamed before the restart,
+            # the exact duplicate bug state_path exists to prevent.
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg \
+                    and "Path does not exist" not in msg:
+                raise
     state = {"seen": seen.localCheckpoint()}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:

@@ -921,6 +921,12 @@ def test_bfs_levels_max_iters_contract(spark):
     full = {(r.node, r.level)
             for r in bfs_levels(edges, roots).collect()}
     assert full == {(i, i) for i in range(7)}
+    # depth EXACTLY max_iters: complete closure, no false alarm (the
+    # 6-edge chain finishes in 6 rounds; the loop exhausts on a
+    # non-empty frontier that no longer expands)
+    exact = {(r.node, r.level)
+             for r in bfs_levels(edges, roots, max_iters=6).collect()}
+    assert exact == full
     with pytest.raises(ValueError, match="on_max_iters"):
         bfs_levels(edges, roots, on_max_iters="bogus")
 
@@ -975,6 +981,22 @@ def test_bgp_path_quant_forms(spark):
         bgp_path_quant(t, "e", 3, 2)
     with pytest.raises(ValueError, match="compose"):
         bgp_path_quant(t, "e", 2, None)
+
+    # sparse data: no path reaches n_min -> EMPTY result, not a crash
+    # ('f' has a single edge, so p{2,3} over it matches nothing)
+    assert bgp_path_quant(t, "f", 2, 3).count() == 0
+    assert bgp_path_quant(t, "nosuchpred", 1, 2).count() == 0
+
+    # pair-BFS depth exactly max_iters: the closure IS complete —
+    # must not raise a false incompleteness alarm (the last new pair
+    # (a,d) lands in round 2; with max_iters=2 the loop exhausts on a
+    # non-empty frontier that no longer expands)
+    got2 = {(r.a, r.z) for r in
+            bgp_path_quant(t, "e", 1, None, max_iters=2).collect()}
+    assert got2 == plus
+    # genuinely too shallow still raises
+    with pytest.raises(RuntimeError, match="max_iters"):
+        bgp_path_quant(t, "e", 1, None, max_iters=1)
 
 
 def test_bgp_path_quant_matches_bruteforce_random(spark):

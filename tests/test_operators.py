@@ -2413,3 +2413,27 @@ def test_tool_call_stats_profile(spark):
     assert got["search"] == (3, 2, 2 * 1000000 // 3, 2, 35)
     # browse: gap to the NEXT turn in c2 (also a tool turn): 60.
     assert got["browse"] == (1, 1, 0, 1, 60)
+
+
+def test_streaming_graph_delta_corrupt_state_raises(spark, tmpdir_path):
+    """A corrupt persisted seen-set must FAIL the start, not silently
+    reset to the base snapshot (which would re-emit every
+    already-streamed triple); only a missing path means first start."""
+    import pytest
+
+    from serd_spark.streaming.ingest import start_streaming_graph_delta
+
+    state = os.path.join(tmpdir_path, "cstate")
+    os.makedirs(state)
+    with open(os.path.join(state, "part-0000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    inp = os.path.join(tmpdir_path, "cin")
+    os.makedirs(inp)
+    snapshot = spark.createDataFrame([("a", "b", "c")],
+                                     "s string, p string, o string")
+    stream = spark.readStream.schema(snapshot.schema).parquet(inp)
+    with pytest.raises(Exception, match="(?i)parquet|schema"):
+        start_streaming_graph_delta(
+            stream, snapshot, lambda df, bid: None,
+            checkpoint_path=os.path.join(tmpdir_path, "cckpt"),
+            state_path=state)
