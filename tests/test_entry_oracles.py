@@ -290,6 +290,33 @@ def test_cached_fixture_equals_inline(spark):
         assert a == b, f"{name}: cached fixture differs from inline"
 
 
+def test_bucketed_cache_equals_inline(spark):
+    """Oracle-isolation proof for the session-scoped bucketed table
+    (VERDICT r7 #7): the cached catalog table read back by
+    ``_bucketed_table_cached`` is row-identical to a FRESH inline
+    derivation of the same triples, and a repeat call does NOT
+    re-write (the key is already in ``_BUCKETED_TABLES``, so bench's
+    second pass measures the exchange-free READ path only)."""
+    cached = entrymod._bucketed_table_cached(
+        spark, SF_DIR, "serd_triples_2hop", 8,
+        lambda: entrymod._order_cust_nation_cached(spark, SF_DIR))
+    key = (spark.sparkContext.applicationId, SF_DIR,
+           "serd_triples_2hop", 8)
+    assert key in entrymod._BUCKETED_TABLES
+
+    def boom():
+        raise AssertionError("repeat call re-built the triples")
+
+    again = entrymod._bucketed_table_cached(
+        spark, SF_DIR, "serd_triples_2hop", 8, boom)
+    a = _rows_fingerprint(cached)
+    assert a, "empty bucketed table"
+    assert a == _rows_fingerprint(again)
+    inline = entrymod._order_cust_nation_triples(spark, SF_DIR)
+    assert a == _rows_fingerprint(inline), (
+        "cached bucketed table differs from inline derivation")
+
+
 def test_registry_tiers_shape():
     """Pin the registry size policy (VERDICT r6 #8): the LIVE
     registry holds at most 100 entries (two 50-row gate windows, so
