@@ -4424,6 +4424,152 @@ def _o_kg_minus(_: str) -> str:
     """
 
 
+def _kg_triangle_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A triple corpus with a genuine CYCLE shape, parsed through the
+    real chunked NT parser — the fixture for the generic BGP
+    composer's gate row.  Three edge types: every order points at its
+    customer (``:cust``), every customer at its nation (``:nation``),
+    and every order also asserts a direct ``:ships_to`` nation — the
+    customer's real nation for EVEN orderkeys, a decoy IRI
+    (``urn:nation:xN``, never a real nation) for odd ones.  The
+    triangle pattern closes only on even orders, so a composer that
+    drops the closing constraint (or joins the wrong variables)
+    produces extra rows and hash-fails."""
+    from pyspark.sql import Window
+
+    from serd_spark.operators.parse import (
+        parse_documents_chunked,
+        split_quarantine,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    oc = orders.join(
+        cust, orders.o_custkey == cust.c_custkey)
+    ships = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(F.lit("<urn:nation:"), "c_nationkey", F.lit(">")),
+    ).otherwise(
+        F.concat(F.lit("<urn:nation:x"), "c_nationkey", F.lit(">")))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    t1 = oc.select(
+        F.concat(F.lit("t"), F.col("o_custkey").cast("string"))
+        .alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.concat(
+            F.lit("<urn:order:"), "o_orderkey",
+            F.lit("> <urn:schema:cust> <urn:cust:"), "o_custkey",
+            F.lit("> .\n<urn:order:"), "o_orderkey",
+            F.lit("> <urn:schema:ships_to> "), ships, F.lit(" ."),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    t2 = cust.select(
+        F.concat(F.lit("u"), F.col("c_custkey").cast("string"))
+        .alias("conv_id"),
+        F.lit(1).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.concat(
+            F.lit("<urn:cust:"), "c_custkey",
+            F.lit("> <urn:schema:nation> <urn:nation:"), "c_nationkey",
+            F.lit("> ."),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    triples, _ = split_quarantine(parse_documents_chunked(
+        t1.unionByName(t2), chunk_turns=8))
+    return triples
+
+
+def _q_kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERIC BGP composer under the exact gate, on a pattern no
+    single fixed verb evaluates — a star⋈chain with a CLOSING edge
+    (triangle): ``?o :cust ?c . ?c :nation ?n . ?o :ships_to ?n``.
+    Arms 1+3 share subject ``?o`` (a star), arm 2 chains ``?c``, and
+    ``?n`` closes the cycle between the chain's end and the star's
+    second arm — bgp_star cannot express the two subjects, bgp_2hop
+    cannot express the cycle.  The corpus's decoy ships_to edges
+    (odd orders point at a nonexistent nation IRI) close no triangle,
+    so the oracle enumerates exactly the even orders' rows by
+    construction."""
+    from serd_spark.operators.kg import bgp
+
+    t = _cached_triples(spark, sf_dir, "triangle",
+                        lambda: _kg_triangle_triples(spark, sf_dir))
+    return bgp(t, [("?o", "urn:schema:cust", "?c"),
+                   ("?c", "urn:schema:nation", "?n"),
+                   ("?o", "urn:schema:ships_to", "?n")])
+
+
+def _o_kg_bgp(_: str) -> str:
+    return """
+    SELECT DISTINCT 'urn:order:' || o_orderkey AS o,
+           'urn:cust:' || o_custkey AS c,
+           'urn:nation:' || c_nationkey AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 2 = 0
+    """
+
+
+def _q_kg_graph_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GRAPH ?g { ?a child+ ?z }`` under the exact gate: the
+    orderkey-octree edges published as NQ quads, each edge into the
+    graph named after its CHILD's key mod 3 — so multi-hop paths
+    usually cross graphs and the per-graph closure is a strict
+    subset of the global one (a closure that leaks across graphs
+    produces extra rows and hash-fails).  Parses the quad corpus
+    through the real NQ line parser, then runs the carry_graph
+    transitive closure; the oracle is a graph-keyed recursive CTE
+    over the same edges (acyclic tree, exact)."""
+    from serd_spark.operators.kg import bgp_path_quant
+    from serd_spark.operators.parse import (
+        parse_documents,
+        split_quarantine,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lit("<urn:n:"),
+        F.floor(F.col("o_orderkey") / 8).cast("long"),
+        F.lit("> <urn:schema:child> <urn:n:"), "o_orderkey",
+        F.lit("> <urn:graph:"), F.col("o_orderkey") % 3,
+        F.lit("> ."))
+    tdf = orders.where(
+        (F.col("o_orderkey") >= 1) & (F.col("o_orderstatus") != "P")
+    ).select(
+        F.concat(F.lit("q"), F.col("o_custkey").cast("string"))
+        .alias("conv_id"),
+        F.col("o_orderkey").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"), line.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+
+    def build():
+        t, _ = split_quarantine(parse_documents(tdf, syntax="nquads"))
+        return t
+
+    quads = _cached_triples(spark, sf_dir, "octree_quads", build)
+    return bgp_path_quant(quads, "urn:schema:child", 1, None,
+                          out_cols=("a", "z"), carry_graph=True)
+
+
+def _o_kg_graph_path(_: str) -> str:
+    return """
+    WITH RECURSIVE e AS (
+        SELECT 'urn:graph:' || (o_orderkey % 3) AS g,
+               'urn:n:' || CAST(o_orderkey // 8 AS BIGINT) AS src,
+               'urn:n:' || o_orderkey AS dst
+        FROM orders WHERE o_orderkey >= 1 AND o_orderstatus <> 'P'),
+    c AS (
+        SELECT g, src AS a, dst AS z FROM e
+        UNION ALL
+        SELECT c.g, c.a, e.dst
+        FROM c JOIN e ON c.g = e.g AND c.z = e.src)
+    SELECT DISTINCT g, a, z FROM c
+    """
+
+
 def _o_kg_turtle_expand(_: str) -> str:
     return """
     SELECT 'urn:order:' || o_orderkey AS s,
@@ -4485,14 +4631,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position 50 silently drops it from the external gate (the
     round-4 lesson).
 
-    Round-7 window: (1) the 17 never-driver-verified rows — the 13
-    added after the round-6 window filled, then this round's four
-    new SPARQL-surface rows (quantified paths, p*, GRAPH-scoped
-    star, MINUS); (2) the 33 highest-complexity entries whose last
-    external row is round 5.  Below the line: the remaining 15
-    round-5-verified rows followed by the 35 round-6-verified rows —
-    EXACTLY the 50 that form the round-8 window, so every live row's
-    external verification stays ≤ 2 rounds old (VERDICT r6 #8).
+    Round-8 window: (1) this round's two never-driver-verified rows
+    — the generic BGP composer (kg_bgp) and the GRAPH-scoped
+    transitive closure (kg_graph_path); (2) the predefined rotation:
+    the 15 round-5-verified session/event rows then 33 of the 35
+    round-6-verified rows (exact_dedup and quality retired, below).
+    Below the line: the 50 round-7-verified rows — the round-9
+    window — so every live row's external verification stays ≤ 2
+    rounds old (VERDICT r6 #8).
 
     Size policy (VERDICT r6 #8): the LIVE registry is capped at 100
     entries — two gate windows — so the rotation period never
@@ -4500,15 +4646,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to the pytest-only tier (:func:`retired_queries` /
     :func:`retired_oracle_sql`): still oracle-gated exact-equality
     in every pytest run and still measured by bench.py, but no
-    longer eligible for driver rows.  Retired this round (each
+    longer eligible for driver rows.  Retired round 7 (each
     hash-green in the r4, r5 AND r6 driver gates, untouched since
     r2-r3): agg_pricing, broadcast_expand, anti_join_undefined,
     window_stmt_idx, explode_fanout, sorted_topk, join_revenue,
     set_ops, langid, fingerprint, token_counts, vocab_topk,
-    stratified_sample, doc_profile, repetition."""
+    stratified_sample, doc_profile, repetition.  Retired round 8
+    (retire-on-add for kg_bgp/kg_graph_path; each hash-green in
+    FIVE driver gates r1/r2/r3/r4/r6): exact_dedup, quality."""
     return {
-        # -- (1a) NEVER driver-verified: added after the round-6
-        #    window filled (front-loaded per the r6 VERDICT) ---------
+        # -- (1) NEVER driver-verified: new this round ----------------
+        "kg_bgp": _q_kg_bgp,
+        "kg_graph_path": _q_kg_graph_path,
+        # -- (2a) last verified round 5: session/event family ---------
+        "sessionize": _q_sessionize,
+        "funnel": _q_funnel,
+        "rolling_revenue": _q_rolling_revenue,
+        "corpus_diff": _q_corpus_diff,
+        "error_rates": _q_error_rates,
+        "value_outliers": _q_value_outliers,
+        "profile_columns": _q_profile_columns,
+        "quality_buckets": _q_quality_buckets,
+        "role_transitions": _q_role_transitions,
+        "retention": _q_retention,
+        "props_stats": _q_props_stats,
+        "shipping_priority": _q_shipping_priority,
+        "late_shipping": _q_late_shipping,
+        "region_rollup": _q_region_rollup,
+        "status_pivot": _q_status_pivot,
+        # -- (2b) last verified round 6 -------------------------------
+        "winnowing": _q_winnowing,
+        "nt_roundtrip": _q_nt_roundtrip,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "minhash_lsh": _q_minhash_lsh,
+        "minhash_incremental": _q_minhash_incremental,
+        "dedup_clusters": _q_dedup_clusters,
+        "cluster_reps": _q_cluster_reps,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "cdc_spans": _q_cdc_spans,
+        "dup_ngram": _q_dup_ngram,
+        "embedding_neardup": _q_embedding_neardup,
+        "cosine_topk": _q_cosine_topk,
+        "tfidf_topk": _q_tfidf_topk,
+        "bigram_pmi": _q_bigram_pmi,
+        "source_quality": _q_source_quality,
+        "contamination": _q_contamination,
+        "pack_chunks": _q_pack_chunks,
+        "stratified_take": _q_stratified_take,
+        "langid_eval": _q_langid_eval,
+        "pii_scrub": _q_pii_scrub,
+        "clean_corpus": _q_clean_corpus,
+        "domain_stats": _q_domain_stats,
+        "domain_filter": _q_domain_filter,
+        "compression_quality": _q_compression_quality,
+        "bpe_tokens_real": _q_bpe_tokens_real,
+        "embedding_quantize": _q_embedding_quantize,
+        "kg_star": _q_kg_star,
+        "kg_star_optional": _q_kg_star_optional,
+        "kg_2hop_bucketed": _q_kg_2hop_bucketed,
+        "kg_reachability": _q_kg_reachability,
+        "kg_not_exists": _q_kg_not_exists,
+        "kg_char_sets": _q_kg_char_sets,
+        # ---- external gate window ends here (position 50) ----------
+        # -- (3) round-7 driver-green: the round-9 window -------------
         "kg_path3": _q_kg_path3,
         "kg_values": _q_kg_values,
         "kg_triple_pr": _q_kg_triple_pr,
@@ -4522,12 +4723,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct": _q_kg_construct,
         "kg_ask": _q_kg_ask,
         "tool_stats": _q_tool_stats,
-        # -- (1b) NEVER driver-verified: new this round --------------
         "kg_path_quant": _q_kg_path_quant,
         "kg_path_star": _q_kg_path_star,
         "kg_graph_scoped": _q_kg_graph_scoped,
         "kg_minus": _q_kg_minus,
-        # -- (2) last verified round 5: complex/kg/ann/graph first ---
         "simhash_pairs": _q_simhash_pairs,
         "tfidf_cosine": _q_tfidf_cosine,
         "semantic_decon": _q_semantic_decon,
@@ -4561,71 +4760,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": _q_graph_degrees,
         "triangle_count": _q_triangle_count,
         "kcore": _q_kcore,
-        # ---- external gate window ends here (position 50) ----------
-        # -- (3) last verified round 5: stable session/event family —
-        #    the first 15 of the round-8 window ----------------------
-        "sessionize": _q_sessionize,
-        "funnel": _q_funnel,
-        "rolling_revenue": _q_rolling_revenue,
-        "corpus_diff": _q_corpus_diff,
-        "error_rates": _q_error_rates,
-        "value_outliers": _q_value_outliers,
-        "profile_columns": _q_profile_columns,
-        "quality_buckets": _q_quality_buckets,
-        "role_transitions": _q_role_transitions,
-        "retention": _q_retention,
-        "props_stats": _q_props_stats,
-        "shipping_priority": _q_shipping_priority,
-        "late_shipping": _q_late_shipping,
-        "region_rollup": _q_region_rollup,
-        "status_pivot": _q_status_pivot,
-        # -- (4) round-6 driver-green: the rest of the r8 window -----
-        "winnowing": _q_winnowing,
-        "nt_roundtrip": _q_nt_roundtrip,
-        "exact_dedup": _q_exact_dedup,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "minhash_lsh": _q_minhash_lsh,
-        "minhash_incremental": _q_minhash_incremental,
-        "dedup_clusters": _q_dedup_clusters,
-        "cluster_reps": _q_cluster_reps,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash": _q_simhash,
-        "cdc_spans": _q_cdc_spans,
-        "dup_ngram": _q_dup_ngram,
-        "embedding_neardup": _q_embedding_neardup,
-        "cosine_topk": _q_cosine_topk,
-        "tfidf_topk": _q_tfidf_topk,
-        "bigram_pmi": _q_bigram_pmi,
-        "source_quality": _q_source_quality,
-        "contamination": _q_contamination,
-        "pack_chunks": _q_pack_chunks,
-        "stratified_take": _q_stratified_take,
-        "quality": _q_quality,
-        "langid_eval": _q_langid_eval,
-        "pii_scrub": _q_pii_scrub,
-        "clean_corpus": _q_clean_corpus,
-        "domain_stats": _q_domain_stats,
-        "domain_filter": _q_domain_filter,
-        "compression_quality": _q_compression_quality,
-        "bpe_tokens_real": _q_bpe_tokens_real,
-        "embedding_quantize": _q_embedding_quantize,
-        "kg_star": _q_kg_star,
-        "kg_star_optional": _q_kg_star_optional,
-        "kg_2hop_bucketed": _q_kg_2hop_bucketed,
-        "kg_reachability": _q_kg_reachability,
-        "kg_not_exists": _q_kg_not_exists,
-        "kg_char_sets": _q_kg_char_sets,
     }
 
 
 def retired_queries() -> dict[str, Callable[[SparkSession, str],
                                             DataFrame]]:
     """The pytest-only tier (see :func:`queries` size policy): basics
-    retired from the live registry after three consecutive hash-green
-    driver rounds (r4/r5/r6) with no source change since r2-r3.
+    retired from the live registry after three-plus hash-green driver
+    rounds with no source change since r2-r3 (the r7 retirees were
+    green r4/r5/r6; the r8 retirees exact_dedup/quality were green
+    r1/r2/r3/r4/r6 — retire-on-add for kg_bgp/kg_graph_path).
     Still exact-equality-gated by tests/test_entry_oracles.py and
     still in bench.py's HEADLINE; not eligible for driver rows."""
     return {
+        "exact_dedup": _q_exact_dedup,
+        "quality": _q_quality,
         "agg_pricing": _q_agg_pricing,
         "broadcast_expand": _q_broadcast_expand,
         "anti_join_undefined": _q_anti_join_undefined,
@@ -4647,8 +4796,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str],
 def oracle_sql() -> dict[str, str]:
     sf = ""
     return {
+        "kg_bgp": _o_kg_bgp(sf),
+        "kg_graph_path": _o_kg_graph_path(sf),
         "nt_roundtrip": _o_nt_roundtrip(sf),
-        "exact_dedup": _o_exact_dedup(sf),
         "dedup_keep_best": _o_dedup_keep_best(sf),
         "minhash_lsh": _o_minhash_lsh(sf),
         "minhash_incremental": _o_minhash_incremental(sf),
@@ -4668,7 +4818,6 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _o_ngram_jaccard(sf),
         "simhash": _o_simhash(sf),
         "cosine_topk": _o_cosine_topk(sf),
-        "quality": _o_quality(sf),
         "langid_eval": _o_langid_eval(sf),
         "lm_score": _o_lm_score(sf),
         "winnowing": _o_winnowing(sf),
@@ -4755,6 +4904,8 @@ def retired_oracle_sql() -> dict[str, str]:
     only live rows."""
     sf = ""
     return {
+        "exact_dedup": _o_exact_dedup(sf),
+        "quality": _o_quality(sf),
         "agg_pricing": _o_agg_pricing(sf),
         "broadcast_expand": _o_broadcast_expand(sf),
         "anti_join_undefined": _o_anti_join_undefined(sf),

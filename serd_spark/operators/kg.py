@@ -530,6 +530,165 @@ def bgp_not_exists(
     return have.join(absent, key, "left_anti").distinct()
 
 
+def _is_bgp_var(term) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _bgp_arm(t: DataFrame, pat, gcols: list):
+    """One triple pattern as a binding DataFrame: constants become
+    scan-pushed equality filters, variables become aliased binding
+    columns, and a variable repeated WITHIN the arm (``?a p ?a``)
+    becomes an in-arm equality filter.  Returns ``(df, names)`` with
+    ``names`` mapping variable → source position ('s'/'p'/'o')."""
+    s, p, o = pat
+    df = t
+    names: dict[str, str] = {}
+    for pos, term in (("s", s), ("p", p), ("o", o)):
+        if _is_bgp_var(term):
+            v = term[1:]
+            if not v:
+                raise ValueError(f"bare '?' variable in pattern {pat}")
+            if v == "g":
+                raise ValueError(
+                    "variable name 'g' is reserved for carry_graph")
+            if v in names:
+                df = df.where(F.col(pos) == F.col(names[v]))
+            else:
+                names[v] = pos
+        else:
+            df = df.where(F.col(pos) == F.lit(term))
+    proj = list(gcols) + [F.col(pos).alias(v)
+                          for v, pos in names.items()]
+    if proj:
+        df = df.select(*proj)
+    return df, names
+
+
+def bgp(
+    triples: DataFrame, patterns: list,
+    select: list | None = None,
+    graph: str | None = None, carry_graph: bool = False,
+) -> DataFrame:
+    """Generic basic-graph-pattern composer: evaluate an ARBITRARY
+    conjunction of triple patterns with free variable sharing — the
+    workhorse shape of every SPARQL engine built over the statement
+    stream (the reference's downstream consumers index exactly the
+    (s, p, o) tuple this composes on, include/serd/serd.h:576-584).
+    Subsumes the fixed verbs: a star is all-arms-share-``?s``, a
+    chain is :func:`bgp_2hop`; this also evaluates the shapes NO
+    single verb covers (triangles/cycles, star⋈chain mixes,
+    variable-predicate arms).
+
+    Each pattern is a ``(s, p, o)`` term triple: a term starting
+    with ``?`` is a variable (same name = same binding across arms,
+    standard BGP join semantics; repeated within one arm = in-arm
+    equality); any other string is a constant matched by equality.
+    Output: DISTINCT rows over ``select`` (default: every variable
+    in first-appearance order), plus a leading ``g`` column with
+    ``carry_graph``.
+
+    Planning: arms are joined greedily by ESTIMATED selectivity —
+    the classic bound-term heuristic (Stocker et al., WWW 2008):
+    start from the arm with the most constants (subject > object >
+    predicate weight), then repeatedly attach the candidate sharing
+    a variable with the bound set, preferring arms whose SHARED
+    variable sits in their subject position (those joins ride a
+    subject-bucketed layout exchange-free) and then more-constant
+    arms.  Patterns sharing NO variable with the rest are rejected
+    (``ValueError``) rather than silently cross-producted — at
+    corpus scale a cartesian is an outage, and SPARQL users who
+    really mean a product can compose two ``bgp`` calls with an
+    explicit ``crossJoin``.  A fully-ground pattern (no variables)
+    is the ASK-style guard: it filters the whole result to empty
+    when absent, joined as a broadcast one-row existence flag, never
+    a data-sized product.
+
+    Scale shape: each arm is ONE scan of the materialized triple
+    table with every constant pushed as an equality PushedFilter
+    (constant-predicate arms are the classic triple-store
+    selectivity win); the join tree is hash joins keyed on shared
+    variables only — bindings project to named columns immediately,
+    so shuffle width is the variable count, not the table width.
+    All-subject-shared patterns (stars) reuse ONE partitioning
+    across every arm and plan with zero Exchange over a
+    subject-bucketed table (test-pinned); nothing is a cartesian
+    and no side is assumed broadcastable.
+
+    ``graph``/``carry_graph`` add the SPARQL GRAPH clause (see
+    :func:`_graph_scope`): with ``carry_graph`` every arm carries
+    ``g`` and every join adds ``g`` to its key, so all arms match
+    within the SAME named graph; arms connected ONLY through ``g``
+    still count as disconnected (a per-graph cartesian is still a
+    cartesian)."""
+    if not patterns:
+        raise ValueError("patterns must be non-empty")
+    t = _graph_scope(triples, graph, carry_graph)
+    gcols = ["g"] if carry_graph else []
+
+    arms, order = [], []
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be (s, p, o): {pat!r}")
+        df, names = _bgp_arm(t, pat, gcols)
+        s, p, o = pat
+        bound = (4 * (not _is_bgp_var(s)) + 2 * (not _is_bgp_var(o))
+                 + (not _is_bgp_var(p)))
+        subj = s[1:] if _is_bgp_var(s) else None
+        arms.append((df, names, bound, subj))
+        for v in names:
+            if v not in order:
+                order.append(v)
+
+    remaining = set(range(len(arms)))
+    guards = {i for i in remaining if not arms[i][1]}
+    binding = remaining - guards
+    if binding:
+        start = max(binding,
+                    key=lambda i: (arms[i][2], -i))
+        plan, bound_vars = arms[start][0], set(arms[start][1])
+        binding.discard(start)
+        while binding:
+            cands = [i for i in binding
+                     if set(arms[i][1]) & bound_vars]
+            if not cands:
+                miss = [patterns[i] for i in sorted(binding)]
+                raise ValueError(
+                    f"disconnected BGP (cartesian product) — these"
+                    f" patterns share no variable with the rest:"
+                    f" {miss}; evaluate them as a separate bgp() and"
+                    f" crossJoin explicitly if a product is intended")
+            nxt = max(cands, key=lambda i: (
+                arms[i][3] in bound_vars, arms[i][2], -i))
+            shared = sorted(set(arms[nxt][1]) & bound_vars)
+            plan = plan.join(arms[nxt][0], gcols + shared)
+            bound_vars |= set(arms[nxt][1])
+            binding.discard(nxt)
+    else:
+        plan, bound_vars = None, set()
+
+    for i in sorted(guards):
+        flag = f"_guard{i}"
+        g = arms[i][0]
+        if carry_graph:
+            g = g.select("g", F.lit(1).alias(flag)).distinct()
+            plan = (g if plan is None
+                    else plan.join(g, "g")).drop(flag)
+        else:
+            g = g.limit(1).select(F.lit(1).alias(flag))
+            plan = (g if plan is None
+                    else plan.crossJoin(F.broadcast(g))).drop(flag)
+    if not bound_vars and not carry_graph and select is None:
+        # all-ground ASK-style bgp: one row when every guard holds
+        return plan.select(F.lit(True).alias("matched"))
+
+    out = [v.lstrip("?") for v in (select if select is not None
+                                   else order)]
+    bad = [v for v in out if v not in bound_vars]
+    if bad:
+        raise ValueError(f"select names unbound variables: {bad}")
+    return plan.select(*gcols, *out).distinct()
+
+
 def characteristic_sets(triples: DataFrame) -> DataFrame:
     """Characteristic sets (Neumann & Moerkotte, ICDE 2011): for
     each subject, its sorted distinct predicate set; then how many
@@ -559,6 +718,7 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
 def bgp_path(
     triples: DataFrame, preds: list,
     out_cols: tuple = ("a", "z"),
+    graph: str | None = None, carry_graph: bool = False,
 ) -> DataFrame:
     """Sequence property path: ``?a p1/p2/…/pk ?z`` — the SPARQL 1.1
     path expression generalizing :func:`bgp_2hop` to any fixed hop
@@ -587,26 +747,44 @@ def bgp_path(
     broadcastable; hop joins key alternately on ``s``/``o`` so only
     the first forward hop rides a subject-bucketed layout — the path
     join is the case FOR predicate-partitioned secondary layouts,
-    which this operator reads as-is."""
+    which this operator reads as-is.
+
+    ``graph``/``carry_graph`` add the SPARQL GRAPH clause (see
+    :func:`_graph_scope`): with ``carry_graph`` the WHOLE path must
+    lie within ONE named graph — every hop join keys on
+    ``(g, node)``, so a chain that crosses graphs never matches —
+    and the output grows a leading ``g`` column."""
     if not preds:
         raise ValueError("preds must be non-empty")
 
+    t = _graph_scope(triples, graph, carry_graph)
+    gcols = ["g"] if carry_graph else []
     oa, oz = out_cols
-    df = _path_hop(triples, preds[0], oa, "_n")
+    df = _path_hop(t, preds[0], oa, "_n", gcols)
     for spec in preds[1:]:
-        df = df.join(_path_hop(triples, spec, "_n", "_m"), "_n") \
-            .select(oa, F.col("_m").alias("_n"))
-    return df.select(oa, F.col("_n").alias(oz)).distinct()
+        df = df.join(_path_hop(t, spec, "_n", "_m", gcols),
+                     gcols + ["_n"]) \
+            .select(*gcols, oa, F.col("_m").alias("_n"))
+    return df.select(*gcols, oa, F.col("_n").alias(oz)).distinct()
 
 
-def _path_hop(triples: DataFrame, spec, src: str, dst: str) -> DataFrame:
+def _path_hop(triples: DataFrame, spec, src: str, dst: str,
+              gcols: list | tuple = ()) -> DataFrame:
     """One property-path hop as an edge DataFrame (src, dst) — the
     shared hop grammar of :func:`bgp_path` and
     :func:`bgp_path_quant`: a predicate string, ``"^pred"`` for the
     inverse direction, a list for alternation, or ``"!p1|^p2"`` for a
     negated property set.  Every form is an isin/equality predicate
     filter pushed to the scan (an alternation is ONE scan with an IN
-    filter per direction, not a scan per alternative)."""
+    filter per direction, not a scan per alternative).  ``gcols``
+    carries the named-graph column through for carry_graph callers
+    (edges stay tagged with the graph they came from)."""
+    gcols = list(gcols)
+
+    def _sel(df, a, b):
+        return df.select(*gcols, F.col(a).alias(src),
+                         F.col(b).alias(dst))
+
     parts = []
     if isinstance(spec, str) and spec.startswith("!"):
         # SPARQL negated property set: ``!(p1|^p2|…)`` —
@@ -621,13 +799,11 @@ def _path_hop(triples: DataFrame, spec, src: str, dst: str) -> DataFrame:
         fex = [p for p in items if not p.startswith("^")]
         iex = [p[1:] for p in items if p.startswith("^")]
         if fex:
-            parts.append(triples.where(~F.col("p").isin(fex))
-                         .select(F.col("s").alias(src),
-                                 F.col("o").alias(dst)))
+            parts.append(_sel(triples.where(~F.col("p").isin(fex)),
+                              "s", "o"))
         if iex:
-            parts.append(triples.where(~F.col("p").isin(iex))
-                         .select(F.col("o").alias(src),
-                                 F.col("s").alias(dst)))
+            parts.append(_sel(triples.where(~F.col("p").isin(iex)),
+                              "o", "s"))
     else:
         alts = [spec] if isinstance(spec, str) else list(spec)
         if not alts:
@@ -635,13 +811,11 @@ def _path_hop(triples: DataFrame, spec, src: str, dst: str) -> DataFrame:
         fwd = [p for p in alts if not p.startswith("^")]
         inv = [p[1:] for p in alts if p.startswith("^")]
         if fwd:
-            parts.append(triples.where(F.col("p").isin(fwd))
-                         .select(F.col("s").alias(src),
-                                 F.col("o").alias(dst)))
+            parts.append(_sel(triples.where(F.col("p").isin(fwd)),
+                              "s", "o"))
         if inv:
-            parts.append(triples.where(F.col("p").isin(inv))
-                         .select(F.col("o").alias(src),
-                                 F.col("s").alias(dst)))
+            parts.append(_sel(triples.where(F.col("p").isin(inv)),
+                              "o", "s"))
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -651,6 +825,7 @@ def _path_hop(triples: DataFrame, spec, src: str, dst: str) -> DataFrame:
 def bgp_path_quant(
     triples: DataFrame, spec, n_min: int, n_max: int | None = None,
     out_cols: tuple = ("a", "z"), max_iters: int = 30,
+    graph: str | None = None, carry_graph: bool = False,
 ) -> DataFrame:
     """Quantified / closure property paths — the repetition forms of
     SPARQL 1.1 path syntax that :func:`bgp_path` (fixed chains) and
@@ -688,7 +863,16 @@ def bgp_path_quant(
     inherently output-bounded, not input-bounded: its natural 100 TB
     use is schema-sized predicates (``rdfs:subClassOf*``,
     ``skos:broader+``); for instance-scale reachability from a seed
-    set, use ``bfs_levels`` (frontier-from-roots, not all-pairs)."""
+    set, use ``bfs_levels`` (frontier-from-roots, not all-pairs).
+
+    ``graph``/``carry_graph`` add the SPARQL GRAPH clause (see
+    :func:`_graph_scope`): with ``carry_graph`` the closure runs PER
+    NAMED GRAPH — step edges stay tagged with their graph, frontier
+    joins and the visited anti-join key on ``(g, node)``/
+    ``(g, a, z)``, so a path never hops across graphs — and the
+    zero-length row binds each graph's OWN terms (a term appearing
+    only in g1 gets no reflexive row in g2).  Output grows a leading
+    ``g`` column."""
     if n_min < 0:
         raise ValueError(f"n_min must be >= 0, got {n_min}")
     if n_max is not None and n_max < n_min:
@@ -698,17 +882,20 @@ def bgp_path_quant(
             "n_min > 1 with unbounded n_max: compose the fixed"
             " prefix with bgp_path (p{2,} == p/p+) instead")
     oa, oz = out_cols
+    t = _graph_scope(triples, graph, carry_graph)
+    gcols = ["g"] if carry_graph else []
     parts: list[DataFrame] = []
     if n_min == 0:
-        nodes = triples.select(F.col("s").alias("_a")).unionByName(
-            triples.select(F.col("o").alias("_a"))).distinct()
-        parts.append(nodes.select("_a", F.col("_a").alias("_z")))
+        nodes = t.select(*gcols, F.col("s").alias("_a")).unionByName(
+            t.select(*gcols, F.col("o").alias("_a"))).distinct()
+        parts.append(nodes.select(*gcols, "_a",
+                                  F.col("_a").alias("_z")))
     if n_max == 0:
         step = None
     else:
-        step = _path_hop(triples, spec, "_a", "_z").distinct() \
+        step = _path_hop(t, spec, "_a", "_z", gcols).distinct() \
             .localCheckpoint()
-        nxt_step = step.select(F.col("_a").alias("_z"),
+        nxt_step = step.select(*gcols, F.col("_a").alias("_z"),
                                F.col("_z").alias("_z2"))
     if step is not None and n_max is not None:
         frontier = step
@@ -716,8 +903,8 @@ def bgp_path_quant(
             parts.append(frontier)
         for k in range(2, n_max + 1):
             frontier = (
-                frontier.join(nxt_step, "_z")
-                .select("_a", F.col("_z2").alias("_z"))
+                frontier.join(nxt_step, gcols + ["_z"])
+                .select(*gcols, "_a", F.col("_z2").alias("_z"))
                 .distinct().localCheckpoint())
             if frontier.isEmpty():
                 break
@@ -726,10 +913,10 @@ def bgp_path_quant(
     elif step is not None:
         def _next(frontier, visited):
             return (
-                frontier.join(nxt_step, "_z")
-                .select("_a", F.col("_z2").alias("_z"))
+                frontier.join(nxt_step, gcols + ["_z"])
+                .select(*gcols, "_a", F.col("_z2").alias("_z"))
                 .distinct()
-                .join(visited, ["_a", "_z"], "left_anti")
+                .join(visited, gcols + ["_a", "_z"], "left_anti")
                 .localCheckpoint())
 
         visited = step
@@ -758,13 +945,13 @@ def bgp_path_quant(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
-    return df.select(F.col("_a").alias(oa),
+    return df.select(*gcols, F.col("_a").alias(oa),
                      F.col("_z").alias(oz)).distinct()
 
 
 def bgp_minus(
     bindings: DataFrame, pattern: DataFrame,
-    on: list | None = None,
+    on: list | None = None, compat: str = "bound",
 ) -> DataFrame:
     """SPARQL ``MINUS``: remove solutions from ``bindings`` that are
     compatible with some solution of ``pattern`` on their SHARED
@@ -777,15 +964,36 @@ def bgp_minus(
     pattern is non-empty.
 
     ``on`` names the shared variables explicitly; default = the
-    column-name intersection.  Shared columns are assumed bound
-    (non-NULL) on both sides — rows with a NULL shared column are
-    never matched, hence never removed (Spark join semantics; the
-    standard simplification for fully-bound BGP bindings).
+    column-name intersection.
 
-    Scale shape: ONE left-anti hash join on the shared variable set —
-    the pattern side projects to just those columns first, so nothing
-    else shuffles; keyed on ``s``-led columns it rides the same
-    subject partitioning as every other BGP verb."""
+    ``compat`` picks the NULL (= SPARQL "unbound") treatment on the
+    shared columns:
+
+    - ``"bound"`` (default): shared columns are assumed bound on both
+      sides — a row with a NULL shared column is never matched, hence
+      never removed (plain Spark equality-join semantics).  This is
+      the fast path and exact for fully-bound BGP bindings; when the
+      LEFT side came from OPTIONAL arms (:func:`bgp_star`
+      ``optional_preds`` — NULLable columns) and such a column is in
+      the shared set, it DIVERGES from the SPARQL spec, which ignores
+      unbound variables and can still subtract on the rest.  Either
+      pass ``on=`` restricted to the always-bound columns, or use:
+    - ``"partial"``: spec-exact — a binding is removed iff some
+      pattern row agrees on every MUTUALLY BOUND shared column and at
+      least one shared column is bound on both sides.  This is a
+      non-equi anti join (Spark plans a broadcast nested loop), so
+      the PATTERN side must be broadcast-small; the bindings side
+      still streams.
+
+    Scale shape (``"bound"``): ONE left-anti hash join on the shared
+    variable set — the pattern side projects to just those columns
+    first, so nothing else shuffles; keyed on ``s``-led columns it
+    rides the same subject partitioning as every other BGP verb.
+    ``"partial"`` trades that for spec fidelity on NULLs: dedup'd
+    pattern projection broadcast, one pass over bindings."""
+    if compat not in ("bound", "partial"):
+        raise ValueError(f"compat must be 'bound' or 'partial',"
+                         f" got {compat!r}")
     shared = (list(on) if on is not None
               else [c for c in bindings.columns
                     if c in set(pattern.columns)])
@@ -796,7 +1004,22 @@ def bgp_minus(
                          f" {missing}")
     if not shared:
         return bindings
-    return bindings.join(pattern.select(shared), shared, "left_anti")
+    if compat == "bound":
+        return bindings.join(pattern.select(shared), shared,
+                             "left_anti")
+    pat = pattern.select(
+        *[F.col(c).alias(f"_p_{c}") for c in shared]).distinct()
+    agree = [(F.col(c).isNull() | F.col(f"_p_{c}").isNull()
+              | (F.col(c) == F.col(f"_p_{c}"))) for c in shared]
+    both = [(F.col(c).isNotNull() & F.col(f"_p_{c}").isNotNull())
+            for c in shared]
+    cond = agree[0]
+    for a in agree[1:]:
+        cond = cond & a
+    some = both[0]
+    for b in both[1:]:
+        some = some | b
+    return bindings.join(F.broadcast(pat), cond & some, "left_anti")
 
 
 def bgp_values(

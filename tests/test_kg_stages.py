@@ -1232,3 +1232,307 @@ def test_bgp_graph_carry_matches_per_graph_union(spark):
             for r in bgp_2hop(sub, "p1", "p2").collect():
                 want.add((g, r.a, r.c))
         assert got == want, f"seed {seed}"
+
+
+def _brute_bgp(tri, patterns):
+    """Naive BGP evaluator: enumerate all triple-combination
+    assignments consistent across shared variables."""
+    sols = [dict()]
+    for (ps, pp, po) in patterns:
+        nxt = []
+        for b in sols:
+            for (s, p, o) in tri:
+                b2 = dict(b)
+                ok = True
+                for term, val in ((ps, s), (pp, p), (po, o)):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if b2.get(v, val) != val:
+                            ok = False
+                            break
+                        b2[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(b2)
+        sols = nxt
+    return sols
+
+
+def test_bgp_generic_matches_bruteforce_random(spark):
+    """Random graphs × random connected patterns: the generic BGP
+    composer equals naive enumeration regardless of arm order,
+    constants, repeated variables, and shape (star/chain/triangle
+    mixes the fixed verbs can't express)."""
+    import random
+
+    from serd_spark.operators.kg import bgp
+
+    shapes = [
+        # triangle (the closing-edge shape no fixed verb covers)
+        [("?a", "p1", "?b"), ("?b", "p2", "?c"), ("?a", "p3", "?c")],
+        # star ⋈ chain mix
+        [("?s", "p1", "?x"), ("?s", "p2", "?y"), ("?y", "p1", "?z")],
+        # constants in s and o positions + variable predicate
+        [("n0", "?p", "?x"), ("?x", "p2", "n1")],
+        # repeated variable within an arm (self-loop) + join
+        [("?a", "p1", "?a"), ("?a", "p2", "?b")],
+        # 4-arm cycle
+        [("?a", "p1", "?b"), ("?b", "p2", "?c"),
+         ("?c", "p1", "?d"), ("?d", "p2", "?a")],
+    ]
+    for seed in (3, 41, 588):
+        rng = random.Random(seed)
+        tri = sorted({(f"n{rng.randint(0, 5)}",
+                       rng.choice(["p1", "p2", "p3"]),
+                       f"n{rng.randint(0, 5)}") for _ in range(25)})
+        t = _triples_df(spark, tri)
+        for pats in shapes:
+            out_vars = sorted({term[1:] for pat in pats
+                               for term in pat if term.startswith("?")
+                               and term[1:] != "p"} |
+                              ({"p"} if any(x == "?p" for pat in pats
+                                            for x in pat) else set()))
+            want = {tuple(b[v] for v in out_vars)
+                    for b in _brute_bgp(tri, pats)}
+            got = {tuple(r[v] for v in out_vars)
+                   for r in bgp(t, pats, select=out_vars).collect()}
+            assert got == want, f"seed {seed} pattern {pats}"
+
+
+def test_bgp_generic_validation(spark):
+    """Disconnected conjunctions raise (never a silent cartesian),
+    unbound select names raise, malformed patterns raise, and the
+    all-ground form answers like ASK."""
+    import pytest as _pytest
+
+    from serd_spark.operators.kg import bgp
+
+    t = _triples_df(spark, [("a", "p", "b"), ("b", "q", "c")])
+    with _pytest.raises(ValueError, match="disconnected"):
+        bgp(t, [("?x", "p", "?y"), ("?v", "q", "?w")])
+    with _pytest.raises(ValueError, match="unbound"):
+        bgp(t, [("?x", "p", "?y")], select=["zz"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        bgp(t, [])
+    q = _quads_df(spark, [("g1", "a", "p", "b")])
+    with _pytest.raises(ValueError, match="reserved"):
+        bgp(q, [("?g", "p", "?y")], carry_graph=True)
+    # ground guard composes with bindings: present guard keeps rows,
+    # absent guard empties the result
+    assert bgp(t, [("?x", "p", "?y"), ("b", "q", "c")]).count() == 1
+    assert bgp(t, [("?x", "p", "?y"), ("b", "q", "zz")]).count() == 0
+    # all-ground == ASK
+    assert bgp(t, [("a", "p", "b")]).collect()[0].matched is True
+    assert bgp(t, [("a", "p", "zz")]).count() == 0
+
+
+def test_bgp_generic_exchange_free_over_buckets(spark):
+    """The generic composer keeps the fixed verbs' plan property: an
+    all-subject-shared pattern (star shape) over a subject-bucketed
+    table plans with ZERO Exchange nodes and pushes every constant
+    predicate to the scan."""
+    from serd_spark.operators.kg import bgp
+    from serd_spark.operators.materialize import write_bucketed_triples
+
+    rows = [(f"s{i}", p, f"{p}_v{i % 5}")
+            for i in range(200) for p in ("p1", "p2", "p3")]
+    t = _triples_df(spark, rows)
+    write_bucketed_triples(t, "t_bgp_generic_plan", n_buckets=4)
+    bt = spark.table("t_bgp_generic_plan")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        star = bgp(bt, [("?s", "p1", "?a"), ("?s", "p2", "?b"),
+                        ("?s", "p3", "?c")])
+        plan = star._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange") == 0, plan
+        assert "EqualTo(p,p1)" in plan, plan
+        assert "EqualTo(p,p3)" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bgp_path_graph_scoped(spark):
+    """GRAPH on the path verbs: a fixed chain and the p+/p* closures
+    must stay WITHIN one named graph — a hop continuing in another
+    graph (the decoy) never extends a path — and the constant-graph
+    form equals filtering first.  The zero-length p* row binds each
+    graph's OWN terms only."""
+    from serd_spark.operators.kg import bgp_path, bgp_path_quant
+
+    rows = [
+        ("g1", "a", "p", "b"), ("g1", "b", "p", "c"),
+        ("g2", "b", "p", "d"),  # decoy: continues g1's path in g2
+        ("g2", "x", "p", "y"), ("g2", "y", "p", "z"),
+    ]
+    q = _quads_df(spark, rows)
+    got = {tuple(r) for r in
+           bgp_path(q, ["p", "p"], carry_graph=True).collect()}
+    assert got == {("g1", "a", "c"), ("g2", "x", "z")}
+    assert ("g1", "a", "d") not in got and ("g2", "a", "d") not in got
+
+    const = {tuple(r) for r in
+             bgp_path(q, ["p", "p"], graph="g2").collect()}
+    assert const == {("x", "z")}
+
+    plus = {tuple(r) for r in
+            bgp_path_quant(q, "p", 1, None, carry_graph=True)
+            .collect()}
+    assert plus == {("g1", "a", "b"), ("g1", "b", "c"),
+                    ("g1", "a", "c"), ("g2", "b", "d"),
+                    ("g2", "x", "y"), ("g2", "y", "z"),
+                    ("g2", "x", "z")}
+
+    star = {tuple(r) for r in
+            bgp_path_quant(q, "p", 0, None, carry_graph=True)
+            .collect()}
+    refl = {x for x in star if x[1] == x[2]}
+    assert refl == {("g1", t, t) for t in ("a", "b", "c")} \
+        | {("g2", t, t) for t in ("b", "d", "x", "y", "z")}
+    assert star - refl == plus
+
+    # bounded form is graph-scoped too
+    two = {tuple(r) for r in
+           bgp_path_quant(q, "p", 2, 2, carry_graph=True).collect()}
+    assert two == {("g1", "a", "c"), ("g2", "x", "z")}
+
+    with pytest.raises(ValueError, match="'g' column"):
+        bgp_path(q.drop("g"), ["p"], carry_graph=True)
+    with pytest.raises(ValueError, match="'g' column"):
+        bgp_path_quant(q.drop("g"), "p", 1, 2, carry_graph=True)
+
+
+def test_bgp_path_graph_carry_matches_per_graph_union(spark):
+    """Same by-construction pin as the 2hop version: carry_graph on
+    the path verbs equals running the unscoped verb per graph and
+    unioning with the label — over random cyclic quad tables."""
+    import random
+
+    from serd_spark.operators.kg import bgp_path, bgp_path_quant
+
+    for seed in (11, 203):
+        rng = random.Random(seed)
+        rows = {(f"g{rng.randint(0, 2)}", f"n{rng.randint(0, 7)}",
+                 "e", f"n{rng.randint(0, 7)}") for _ in range(40)}
+        q = _quads_df(spark, sorted(rows))
+        for verb in (
+            lambda d, **kw: bgp_path(d, ["e", "e"], **kw),
+            lambda d, **kw: bgp_path_quant(d, "e", 1, None, **kw),
+            lambda d, **kw: bgp_path_quant(d, "e", 0, 3, **kw),
+        ):
+            got = {tuple(r) for r in
+                   verb(q, carry_graph=True).collect()}
+            want = set()
+            for g in ("g0", "g1", "g2"):
+                sub = q.where(F.col("g") == g)
+                if sub.isEmpty():
+                    continue
+                for r in verb(sub).collect():
+                    want.add((g,) + tuple(r))
+            assert got == want, f"seed {seed}"
+
+
+def test_bgp_minus_partial_compat_matches_bruteforce(spark):
+    """compat='partial' implements the SPARQL-spec MINUS on NULLs
+    (unbound shared vars are ignored; removal needs agreement on the
+    mutually bound columns plus at least one mutually bound column),
+    pinned against a row-by-row brute force over random NULL-ridden
+    operands; compat='bound' stays the fast documented equality
+    semantics."""
+    import random
+
+    from serd_spark.operators.kg import bgp_minus
+
+    for seed in (19, 404):
+        rng = random.Random(seed)
+
+        def cell():
+            return rng.choice([None, "u", "v", "w"])
+
+        lrows = [(f"s{i}", cell(), cell()) for i in range(12)]
+        prows = sorted({(cell(), cell()) for _ in range(6)},
+                       key=lambda r: (r[0] or "", r[1] or ""))
+        left = spark.createDataFrame(
+            lrows, "s string, a string, b string")
+        pat = spark.createDataFrame(prows, "a string, b string")
+
+        def removed(lr):
+            for pr in prows:
+                some, ok = False, True
+                for i, c in enumerate(("a", "b")):
+                    lv, pv = lr[i + 1], pr[i]
+                    if lv is not None and pv is not None:
+                        if lv == pv:
+                            some = True
+                        else:
+                            ok = False
+                            break
+                if ok and some:
+                    return True
+            return False
+
+        want = {r for r in lrows if not removed(r)}
+        got = {(r.s, r.a, r.b) for r in
+               bgp_minus(left, pat, compat="partial").collect()}
+        assert got == want, f"seed {seed}"
+
+        # bound mode: plain equality join — NULL keys never match,
+        # hence never remove (SQL equality, not Python ==)
+        want_b = {r for r in lrows
+                  if not any(r[1] is not None and r[1] == p[0]
+                             and r[2] is not None and r[2] == p[1]
+                             for p in prows)}
+        got_b = {(r.s, r.a, r.b)
+                 for r in bgp_minus(left, pat).collect()}
+        assert got_b == want_b, f"seed {seed}"
+
+    with pytest.raises(ValueError, match="compat"):
+        bgp_minus(left, pat, compat="nope")
+
+
+def test_graph_minus_vs_not_exists_divergence(spark):
+    """The GRAPH × MINUS interaction (VERDICT r7 #8): with ?g in the
+    shared set, MINUS subtracts only same-graph-compatible bindings,
+    while NOT EXISTS with carry_graph tests absence per (g, s) —
+    they agree there; the spec DIVERGENCE shows when the pattern
+    shares no variable at all (MINUS keeps everything, NOT EXISTS
+    still filters), pinned over a random NQ-style quad corpus."""
+    import random
+
+    from serd_spark.operators.kg import bgp_minus, bgp_not_exists, bgp_star
+
+    for seed in (23, 97):
+        rng = random.Random(seed)
+        rows = {(f"g{rng.randint(0, 1)}", f"s{rng.randint(0, 5)}",
+                 rng.choice(["p1", "p2"]), f"o{rng.randint(0, 3)}")
+                for _ in range(30)}
+        q = _quads_df(spark, sorted(rows))
+
+        left = bgp_star(q, ["p1"], ["v"], carry_graph=True)
+        pat = bgp_star(q, ["p2"], ["w"], carry_graph=True)
+        # shared set {g, s}: MINUS == NOT EXISTS (both fully bound)
+        got_minus = {(r.g, r.s, r.v) for r in
+                     bgp_minus(left, pat, on=["g", "s"]).collect()}
+        got_ne = {tuple(r) for r in
+                  bgp_not_exists(q, "p1", "p2",
+                                 out_col="v", carry_graph=True)
+                  .collect()}
+        assert got_minus == got_ne, f"seed {seed}"
+
+        # brute force the same-graph subtraction
+        p1 = {(g, s, o) for (g, s, p, o) in rows if p == "p1"}
+        p2_keys = {(g, s) for (g, s, p, o) in rows if p == "p2"}
+        want = {(g, s, o) for (g, s, o) in p1
+                if (g, s) not in p2_keys}
+        assert got_minus == want, f"seed {seed}"
+
+        # disjoint domains: MINUS removes nothing even when the
+        # pattern is non-empty (renamed columns = no shared vars)
+        pat_disjoint = pat.select(
+            F.col("g").alias("gg"), F.col("s").alias("t"),
+            F.col("w"))
+        assert bgp_minus(left, pat_disjoint).count() == left.count()
