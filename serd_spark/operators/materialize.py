@@ -153,14 +153,31 @@ def write_bucketed_triples(
 
     try:
         _save()
-    except Exception as e:  # noqa: BLE001 — narrowed by message below
+    except Exception as e:  # noqa: BLE001 — narrowed by class below
         # A PREVIOUS session's in-memory catalog forgot the table but
         # its warehouse directory survives on disk; the managed-table
         # save then fails with LOCATION_ALREADY_EXISTS.  Only THEN
         # remove that directory (never preemptively — a same-named
         # directory the catalog never owned must not be deleted on
-        # the happy path) and retry once.
-        if "LOCATION_ALREADY_EXISTS" not in str(e) or "." in table:
+        # the happy path) and retry once.  Matched on the exception's
+        # ERROR CLASS (getCondition, PySpark 4.1 name; getErrorClass
+        # on older 3.x) with the message substring only as a fallback
+        # for exceptions that carry no class — message text is not a
+        # stable API across Spark versions/locales (verified against
+        # the pinned PySpark 4.1.2).
+        cls = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(e, attr, None)
+            if callable(fn):
+                try:
+                    cls = fn()
+                except Exception:  # noqa: BLE001 — probe only
+                    cls = None
+                if cls:
+                    break
+        hit = (cls == "LOCATION_ALREADY_EXISTS" if cls
+               else "LOCATION_ALREADY_EXISTS" in str(e))
+        if not hit or "." in table:
             raise
         from urllib.parse import urlparse
 

@@ -535,10 +535,25 @@ def start_streaming_interval_enrich(
     return writer.start()
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path, Path-class) for ``path`` via the JVM Hadoop
+    FS API — scheme-aware (local/HDFS/object stores with a Hadoop
+    connector), and the authoritative way to ask "does this path
+    exist" instead of pattern-matching Spark's error MESSAGE text,
+    which is not a stable API across versions or locales (ADVICE
+    r7).  Classic (JVM-backed) sessions only, which is what this
+    repo targets."""
+    sc = spark.sparkContext
+    pcls = sc._jvm.org.apache.hadoop.fs.Path
+    hpath = pcls(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return fs, hpath, pcls
+
+
 def start_streaming_graph_delta(
     stream: DataFrame, snapshot: DataFrame, sink,
     checkpoint_path: str | None = None, available_now: bool = True,
-    state_path: str | None = None,
+    state_path: str | None = None, compact_every: int | None = 64,
 ):
     """Streaming KG ingestion with SET semantics: each micro-batch of
     asserted triples emits only the rows genuinely NEW relative to
@@ -573,6 +588,23 @@ def start_streaming_graph_delta(
     start, so a restarted query dedups against everything emitted
     before the restart.  Passing ``checkpoint_path`` WITHOUT
     ``state_path`` is therefore rejected rather than silently unsound.
+    First start is detected by PROBING the path with the Hadoop FS
+    API, not by matching Spark's error message text — so ANY read
+    failure on an existing path (corrupt/partial parquet, transient
+    FS error, schema drift) propagates unconditionally.
+
+    Every ``compact_every`` batches the appended delta history is
+    COMPACTED to one distinct snapshot (None disables): without it
+    the state directory's file count and the restart union+distinct
+    grow with the query's lifetime, not with the current set size
+    (ADVICE r7).  The rewrite is a crash-safe two-phase swap —
+    write the snapshot to ``state_path + ".compacting"``, delete the
+    live directory, atomically rename the staging in — and start-up
+    RECOVERS the one interruptible state (staging complete, live
+    deleted, rename pending) by finishing the rename; a staging dir
+    alongside a live dir is an incomplete write and is discarded.
+    The swap never holds the only copy: the snapshot being written
+    is localCheckpointed in memory first.
     The state append lands after ``sink`` returns, so a crash between
     the two re-emits that one batch on replay (at-least-once into the
     sink; Spark replays the batch under the SAME batch_id, so an
@@ -591,32 +623,69 @@ def start_streaming_graph_delta(
     ks = ["s", "p", "o"]
     spark = snapshot.sparkSession
     seen = snapshot.select(ks).distinct()
+    delta = None  # cumulative EMITTED set — what state_path holds
     if state_path:
-        try:
-            prior = spark.read.parquet(state_path).select(ks)
-            seen = seen.unionByName(prior).distinct()
-        except Exception as e:
-            # ONLY a missing path means "first start".  Any other
-            # read failure (corrupt/partial parquet from a crash
-            # mid-append, transient FS error, schema drift) must
-            # propagate — silently falling back to the base snapshot
-            # would re-emit everything streamed before the restart,
-            # the exact duplicate bug state_path exists to prevent.
-            msg = str(e)
-            if "PATH_NOT_FOUND" not in msg \
-                    and "Path does not exist" not in msg:
-                raise
-    state = {"seen": seen.localCheckpoint()}
+        fs, live, pcls = _hadoop_fs(spark, state_path)
+        staging = pcls(state_path + ".compacting")
+        if fs.exists(staging):
+            if not fs.exists(live):
+                # crashed between delete and rename: the staged
+                # snapshot IS the complete state — finish the swap
+                if not fs.rename(staging, live):
+                    raise IOError(
+                        f"could not recover compacted state: rename"
+                        f" {state_path}.compacting -> {state_path}"
+                        f" failed")
+            else:
+                # staging alongside a live dir = incomplete write
+                # from a crash mid-compaction; live is authoritative
+                fs.delete(staging, True)
+        if fs.exists(live):
+            # path existence established via the FS API, so ANY
+            # failure of this read propagates — silently falling
+            # back to the base snapshot would re-emit everything
+            # streamed before the restart, the exact duplicate bug
+            # state_path exists to prevent
+            delta = spark.read.parquet(state_path).select(ks) \
+                .distinct().localCheckpoint()
+            seen = seen.unionByName(delta).distinct()
+    state = {"seen": seen.localCheckpoint(), "delta": delta,
+             "batches": 0}
+
+    def _compact() -> None:
+        fs, live, pcls = _hadoop_fs(spark, state_path)
+        staging = pcls(state_path + ".compacting")
+        snap = state["delta"]  # localCheckpointed: survives the swap
+        # bound the snapshot's file fan-out by row count — the whole
+        # point of compacting is that restart load (and the file
+        # listing) scales with the CURRENT set, not with how many
+        # batches ever appended
+        n_files = max(1, -(-snap.count() // 4_000_000))
+        snap.repartition(n_files).write.mode("overwrite").parquet(
+            state_path + ".compacting")
+        if not fs.delete(live, True):
+            raise IOError(f"compaction could not remove {state_path}")
+        if not fs.rename(staging, live):
+            raise IOError(
+                f"compaction rename failed for {state_path} — state"
+                f" preserved at {state_path}.compacting (recovered"
+                f" automatically on next start)")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         cand = batch_df.select(ks).distinct()
         new = cand.join(state["seen"], ks, "left_anti") \
             .localCheckpoint()
         sink(new.withColumn("change", F.lit("add")), batch_id)
-        if state_path:
-            new.write.mode("append").parquet(state_path)
         state["seen"] = state["seen"].unionByName(new) \
             .localCheckpoint()
+        if state_path:
+            new.write.mode("append").parquet(state_path)
+            state["delta"] = (
+                new if state["delta"] is None
+                else state["delta"].unionByName(new).localCheckpoint())
+            state["batches"] += 1
+            if compact_every and state["batches"] % compact_every == 0:
+                _compact()
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint_path:

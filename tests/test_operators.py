@@ -2437,3 +2437,104 @@ def test_streaming_graph_delta_corrupt_state_raises(spark, tmpdir_path):
             stream, snapshot, lambda df, bid: None,
             checkpoint_path=os.path.join(tmpdir_path, "cckpt"),
             state_path=state)
+
+
+def test_streaming_graph_delta_state_compaction(spark, tmpdir_path):
+    """State compaction (ADVICE r7): with compact_every=1 the
+    persisted seen-set is rewritten to ONE distinct snapshot per
+    batch, so the state directory's data-file count stays bounded by
+    a single write's fan-out instead of growing per batch — while
+    the emitted rows and the restart no-reemit contract are
+    IDENTICAL to the append-only form.  Both interruptible states of
+    the two-phase swap recover on the next start: staging alongside
+    a live dir is discarded; staging with the live dir missing is
+    renamed into place and dedups exactly like the original."""
+    import shutil
+
+    from serd_spark.operators.kg import graph_delta
+    from serd_spark.streaming.ingest import start_streaming_graph_delta
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet")
+
+    def tri(df):
+        return df.select(
+            F.concat(F.lit("urn:order:"), "o_orderkey").alias("s"),
+            F.lit("urn:schema:cust").alias("p"),
+            F.concat(F.lit("urn:cust:"), "o_custkey").alias("o"))
+
+    snapshot = tri(orders.where(F.col("o_orderkey") % 3 == 0))
+    arriving = tri(orders)
+
+    def parquet_files(d):
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    sup = spark.read.parquet(
+        "/root/testdata/sf0.001/supplier.parquet")
+
+    def sup_tri(lo, hi):
+        return sup.where(F.col("s_suppkey").between(lo, hi)).select(
+            F.concat(F.lit("urn:sup:"), "s_suppkey").alias("s"),
+            F.lit("urn:schema:nation").alias("p"),
+            F.concat(F.lit("urn:nation:"), "s_nationkey").alias("o"))
+
+    def run(tag, compact_every, df_to_append, emitted, parts=6):
+        inp = os.path.join(tmpdir_path, f"{tag}in")
+        df_to_append.repartition(parts).write.mode("append") \
+            .parquet(inp)
+
+        def sink(adds, batch_id):
+            emitted.extend((r.s, r.p, r.o) for r in adds.collect())
+
+        stream = (spark.readStream.schema(arriving.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(inp))
+        q = start_streaming_graph_delta(
+            stream, snapshot, sink,
+            checkpoint_path=os.path.join(tmpdir_path, f"{tag}ck"),
+            state_path=os.path.join(tmpdir_path, f"{tag}st"),
+            compact_every=compact_every)
+        q.awaitTermination(180)
+
+    want = {(r.s, r.p, r.o) for r in graph_delta(
+        snapshot, arriving).where(F.col("change") == "add")
+        .collect()}
+
+    got_c: list[tuple] = []
+    run("c", 1, arriving, got_c)
+    got_n: list[tuple] = []
+    run("n", None, arriving, got_n)
+    assert set(got_c) == want and len(got_c) == len(set(got_c))
+    assert set(got_n) == want and len(got_n) == len(set(got_n))
+
+    state_c = os.path.join(tmpdir_path, "cst")
+    state_n = os.path.join(tmpdir_path, "nst")
+    assert len(parquet_files(state_c)) < len(parquet_files(state_n))
+    # the compacted state holds exactly the emitted set, once
+    assert {(r.s, r.p, r.o)
+            for r in spark.read.parquet(state_c).collect()} == want
+    assert spark.read.parquet(state_c).count() == len(want)
+    assert not os.path.exists(state_c + ".compacting")
+
+    # crash state A: staging left NEXT TO a live dir (crash before
+    # the swap's delete) — live is authoritative, staging discarded.
+    # The restart re-asserts everything and adds 5 genuinely new
+    # triples: exactly those 5 emit (proves batches ran AND the
+    # reloaded state suppressed every re-assert).
+    shutil.copytree(state_c, state_c + ".compacting")
+    new1 = {(r.s, r.p, r.o) for r in sup_tri(1, 5).collect()}
+    got_a: list[tuple] = []
+    run("c", 1, arriving.unionByName(sup_tri(1, 5)), got_a)
+    assert set(got_a) == new1 and len(got_a) == len(new1)
+    assert not os.path.exists(state_c + ".compacting")
+
+    # crash state B: live dir deleted, staging complete (crash
+    # between delete and rename) — recovered by finishing the
+    # rename; again only the genuinely new rows emit
+    shutil.move(state_c, state_c + ".compacting")
+    assert not os.path.exists(state_c)
+    new2 = {(r.s, r.p, r.o) for r in sup_tri(6, 9).collect()}
+    got_b: list[tuple] = []
+    run("c", 1, arriving.unionByName(sup_tri(6, 9)), got_b)
+    assert set(got_b) == new2 and len(got_b) == len(new2)
+    assert os.path.exists(state_c)
+    assert not os.path.exists(state_c + ".compacting")
