@@ -1536,3 +1536,68 @@ def test_graph_minus_vs_not_exists_divergence(spark):
             F.col("g").alias("gg"), F.col("s").alias("t"),
             F.col("w"))
         assert bgp_minus(left, pat_disjoint).count() == left.count()
+
+
+def test_bgp_generic_subsumes_fixed_verbs(spark):
+    """Parity pin: on the shapes the fixed verbs cover, the generic
+    composer returns exactly their rows — star (all-subject-shared),
+    2-hop chain, and the carry_graph star — so a user can migrate
+    verb calls to patterns without behavior change."""
+    import random
+
+    from serd_spark.operators.kg import bgp, bgp_2hop, bgp_star
+
+    rng = random.Random(314)
+    rows = {(f"s{rng.randint(0, 9)}", rng.choice(["p1", "p2", "p3"]),
+             f"v{rng.randint(0, 4)}") for _ in range(60)}
+    t = _triples_df(spark, sorted(rows))
+
+    star_v = {(r.s, r.o1, r.o2) for r in
+              bgp_star(t, ["p1", "p2"]).collect()}
+    star_c = {(r.s, r.o1, r.o2) for r in
+              bgp(t, [("?s", "p1", "?o1"), ("?s", "p2", "?o2")])
+              .collect()}
+    assert star_c == star_v and star_v
+
+    hop_v = {(r.a, r.c) for r in bgp_2hop(t, "p1", "p2").collect()}
+    hop_c = {(r.a, r.c) for r in
+             bgp(t, [("?a", "p1", "?b"), ("?b", "p2", "?c")],
+                 select=["a", "c"]).collect()}
+    assert hop_c == hop_v
+
+    qrows = {(f"g{rng.randint(0, 1)}",) + r for r in rows}
+    q = _quads_df(spark, sorted(qrows))
+    gs_v = {(r.g, r.s, r.o1, r.o2) for r in
+            bgp_star(q, ["p1", "p2"], carry_graph=True).collect()}
+    gs_c = {(r.g, r.s, r.o1, r.o2) for r in
+            bgp(q, [("?s", "p1", "?o1"), ("?s", "p2", "?o2")],
+                carry_graph=True).collect()}
+    assert gs_c == gs_v
+
+
+def test_bgp_generic_graph_carry_matches_per_graph_union(spark):
+    """GRAPH ?g on the generic composer equals running the unscoped
+    composition per graph and unioning with the label — including a
+    triangle pattern whose closing edge must not cross graphs."""
+    import random
+
+    from serd_spark.operators.kg import bgp
+
+    pats = [("?a", "p1", "?b"), ("?b", "p2", "?c"),
+            ("?a", "p3", "?c")]
+    for seed in (31, 450):
+        rng = random.Random(seed)
+        rows = {(f"g{rng.randint(0, 2)}", f"n{rng.randint(0, 5)}",
+                 rng.choice(["p1", "p2", "p3"]),
+                 f"n{rng.randint(0, 5)}") for _ in range(80)}
+        q = _quads_df(spark, sorted(rows))
+        got = {tuple(r) for r in
+               bgp(q, pats, carry_graph=True).collect()}
+        want = set()
+        for g in ("g0", "g1", "g2"):
+            sub = q.where(F.col("g") == g)
+            for r in bgp(sub, pats).collect():
+                want.add((g,) + tuple(r))
+        assert got == want, f"seed {seed}"
+        const = {tuple(r) for r in bgp(q, pats, graph="g1").collect()}
+        assert const == {x[1:] for x in want if x[0] == "g1"}, seed
