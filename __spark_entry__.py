@@ -4570,6 +4570,69 @@ def _o_kg_graph_path(_: str) -> str:
     """
 
 
+def _q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL on the generic composer, with a multi-pattern
+    group no fixed verb expresses: ``?o :ships_to ?n OPTIONAL { ?o
+    :cust ?c . ?c :nation ?n }`` — bind the customer only when the
+    shipping nation IS that customer's nation.  Even orders ship to
+    the real nation (group matches, ``c`` bound); odd orders ship to
+    the decoy IRI (group empty, ``c`` NULL) — so the gate hashes both
+    the fan-in join inside the group and the NULL-preserving left
+    join, on the same cached triangle corpus as ``kg_bgp``."""
+    from serd_spark.operators.kg import bgp
+
+    t = _cached_triples(spark, sf_dir, "triangle",
+                        lambda: _kg_triangle_triples(spark, sf_dir))
+    return bgp(t, [("?o", "urn:schema:ships_to", "?n")],
+               optional=[[("?o", "urn:schema:cust", "?c"),
+                          ("?c", "urn:schema:nation", "?n")]])
+
+
+def _o_kg_bgp_optional(_: str) -> str:
+    return """
+    SELECT DISTINCT 'urn:order:' || o_orderkey AS o,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN 'urn:nation:' || c_nationkey
+                ELSE 'urn:nation:x' || c_nationkey END AS n,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN 'urn:cust:' || o_custkey END AS c
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """
+
+
+def _q_kg_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION under the exact gate, with DIFFERING variable
+    sets per branch: ``{ ?o :cust ?c } UNION { ?o :ships_to ?n }`` —
+    branch 1 binds (o, c), branch 2 binds (o, n), so the output
+    aligns by name with NULL (SPARQL's unbound) in the other
+    branch's column.  Hashes the alignment itself: a union that
+    matches columns positionally instead of by name scrambles c/n
+    and hash-fails.  Same cached triangle corpus as ``kg_bgp``."""
+    from serd_spark.operators.kg import bgp_union
+
+    t = _cached_triples(spark, sf_dir, "triangle",
+                        lambda: _kg_triangle_triples(spark, sf_dir))
+    return bgp_union(t, [[("?o", "urn:schema:cust", "?c")],
+                         [("?o", "urn:schema:ships_to", "?n")]])
+
+
+def _o_kg_union(_: str) -> str:
+    return """
+    SELECT DISTINCT o, c, n FROM (
+        SELECT 'urn:order:' || o_orderkey AS o,
+               'urn:cust:' || o_custkey AS c,
+               CAST(NULL AS VARCHAR) AS n
+        FROM orders
+        UNION ALL
+        SELECT 'urn:order:' || o_orderkey,
+               CAST(NULL AS VARCHAR),
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN 'urn:nation:' || c_nationkey
+                    ELSE 'urn:nation:x' || c_nationkey END
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+    """
+
+
 def _o_kg_turtle_expand(_: str) -> str:
     return """
     SELECT 'urn:order:' || o_orderkey AS s,
@@ -4631,12 +4694,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position 50 silently drops it from the external gate (the
     round-4 lesson).
 
-    Round-8 window: (1) this round's two never-driver-verified rows
-    — the generic BGP composer (kg_bgp) and the GRAPH-scoped
+    Round-8 window: (1) this round's four never-driver-verified rows
+    — the generic BGP composer (kg_bgp), its OPTIONAL groups
+    (kg_bgp_optional), SPARQL UNION (kg_union), and the GRAPH-scoped
     transitive closure (kg_graph_path); (2) the predefined rotation:
-    the 15 round-5-verified session/event rows then 33 of the 35
-    round-6-verified rows (exact_dedup and quality retired, below).
-    Below the line: the 50 round-7-verified rows — the round-9
+    the 15 round-5-verified session/event rows then 31 of the 35
+    round-6-verified rows (exact_dedup, quality, ngram_jaccard and
+    cosine_topk retired, below — the retirements come OUT of the
+    window section, so no surviving window row slips past position
+    50).  Below the line: the 50 round-7-verified rows — the round-9
     window — so every live row's external verification stays ≤ 2
     rounds old (VERDICT r6 #8).
 
@@ -4652,11 +4718,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window_stmt_idx, explode_fanout, sorted_topk, join_revenue,
     set_ops, langid, fingerprint, token_counts, vocab_topk,
     stratified_sample, doc_profile, repetition.  Retired round 8
-    (retire-on-add for kg_bgp/kg_graph_path; each hash-green in
-    FIVE driver gates r1/r2/r3/r4/r6): exact_dedup, quality."""
+    (retire-on-add for kg_bgp/kg_graph_path, then
+    kg_bgp_optional/kg_union; each hash-green in FIVE driver gates
+    r1/r2/r3/r4/r6): exact_dedup, quality, ngram_jaccard,
+    cosine_topk — the latter two's scale-path siblings
+    (prefix_jaccard, tfidf_cosine, simhash_pairs,
+    minhash_incremental, embedding_neardup) all stay live."""
     return {
         # -- (1) NEVER driver-verified: new this round ----------------
         "kg_bgp": _q_kg_bgp,
+        "kg_bgp_optional": _q_kg_bgp_optional,
+        "kg_union": _q_kg_union,
         "kg_graph_path": _q_kg_graph_path,
         # -- (2a) last verified round 5: session/event family ---------
         "sessionize": _q_sessionize,
@@ -4682,12 +4754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": _q_minhash_incremental,
         "dedup_clusters": _q_dedup_clusters,
         "cluster_reps": _q_cluster_reps,
-        "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "cdc_spans": _q_cdc_spans,
         "dup_ngram": _q_dup_ngram,
         "embedding_neardup": _q_embedding_neardup,
-        "cosine_topk": _q_cosine_topk,
         "tfidf_topk": _q_tfidf_topk,
         "bigram_pmi": _q_bigram_pmi,
         "source_quality": _q_source_quality,
@@ -4768,8 +4838,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str],
     """The pytest-only tier (see :func:`queries` size policy): basics
     retired from the live registry after three-plus hash-green driver
     rounds with no source change since r2-r3 (the r7 retirees were
-    green r4/r5/r6; the r8 retirees exact_dedup/quality were green
-    r1/r2/r3/r4/r6 — retire-on-add for kg_bgp/kg_graph_path).
+    green r4/r5/r6; the r8 retirees exact_dedup/quality/
+    ngram_jaccard/cosine_topk were each green r1/r2/r3/r4/r6 —
+    retire-on-add for kg_bgp/kg_graph_path/kg_bgp_optional/
+    kg_union).
     Still exact-equality-gated by tests/test_entry_oracles.py and
     still in bench.py's HEADLINE; not eligible for driver rows."""
     return {
@@ -4790,6 +4862,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str],
         "stratified_sample": _q_stratified_sample,
         "doc_profile": _q_doc_profile,
         "repetition": _q_repetition,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "cosine_topk": _q_cosine_topk,
     }
 
 
@@ -4797,6 +4871,8 @@ def oracle_sql() -> dict[str, str]:
     sf = ""
     return {
         "kg_bgp": _o_kg_bgp(sf),
+        "kg_bgp_optional": _o_kg_bgp_optional(sf),
+        "kg_union": _o_kg_union(sf),
         "kg_graph_path": _o_kg_graph_path(sf),
         "nt_roundtrip": _o_nt_roundtrip(sf),
         "dedup_keep_best": _o_dedup_keep_best(sf),
@@ -4815,9 +4891,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality": _o_source_quality(sf),
         "kg_relations": _o_kg_relations(sf),
         "kg_entity_rank": _o_kg_entity_rank(sf),
-        "ngram_jaccard": _o_ngram_jaccard(sf),
         "simhash": _o_simhash(sf),
-        "cosine_topk": _o_cosine_topk(sf),
         "langid_eval": _o_langid_eval(sf),
         "lm_score": _o_lm_score(sf),
         "winnowing": _o_winnowing(sf),
@@ -4921,4 +4995,6 @@ def retired_oracle_sql() -> dict[str, str]:
         "stratified_sample": _o_stratified_sample(sf),
         "doc_profile": _o_doc_profile(sf),
         "repetition": _o_repetition(sf),
+        "ngram_jaccard": _o_ngram_jaccard(sf),
+        "cosine_topk": _o_cosine_topk(sf),
     }

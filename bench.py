@@ -64,7 +64,7 @@ HEADLINE = [
     "kg_apply_delta", "kg_describe", "kg_construct", "kg_ask",
     "tool_stats",
     "kg_path_quant", "kg_path_star", "kg_graph_scoped", "kg_minus",
-    "kg_bgp", "kg_graph_path",
+    "kg_bgp", "kg_graph_path", "kg_bgp_optional", "kg_union",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended

@@ -564,9 +564,66 @@ def _bgp_arm(t: DataFrame, pat, gcols: list):
     return df, names
 
 
+def _bgp_join_tree(
+    t: DataFrame, patterns: list, gcols: list,
+) -> tuple:
+    """Greedy selectivity-ordered join tree over a pattern
+    conjunction — the shared planner of :func:`bgp` (required and
+    OPTIONAL groups alike).  Returns ``(plan, bound_vars, order,
+    guard_arms)``: ``plan`` is the joined binding DataFrame (None
+    when every pattern is fully ground), ``bound_vars`` the set of
+    variables it binds, ``order`` their first-appearance order, and
+    ``guard_arms`` the filtered-but-variable-free DataFrames of
+    fully-ground patterns (ASK-style guards), for the caller to fold
+    in as broadcast existence flags.  Disconnected conjunctions
+    raise rather than cross-product."""
+    arms, order = [], []
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be (s, p, o): {pat!r}")
+        df, names = _bgp_arm(t, pat, gcols)
+        s, p, o = pat
+        bound = (4 * (not _is_bgp_var(s)) + 2 * (not _is_bgp_var(o))
+                 + (not _is_bgp_var(p)))
+        subj = s[1:] if _is_bgp_var(s) else None
+        arms.append((df, names, bound, subj))
+        for v in names:
+            if v not in order:
+                order.append(v)
+
+    remaining = set(range(len(arms)))
+    guards = {i for i in remaining if not arms[i][1]}
+    binding = remaining - guards
+    if binding:
+        start = max(binding,
+                    key=lambda i: (arms[i][2], -i))
+        plan, bound_vars = arms[start][0], set(arms[start][1])
+        binding.discard(start)
+        while binding:
+            cands = [i for i in binding
+                     if set(arms[i][1]) & bound_vars]
+            if not cands:
+                miss = [patterns[i] for i in sorted(binding)]
+                raise ValueError(
+                    f"disconnected BGP (cartesian product) — these"
+                    f" patterns share no variable with the rest:"
+                    f" {miss}; evaluate them as a separate bgp() and"
+                    f" crossJoin explicitly if a product is intended")
+            nxt = max(cands, key=lambda i: (
+                arms[i][3] in bound_vars, arms[i][2], -i))
+            shared = sorted(set(arms[nxt][1]) & bound_vars)
+            plan = plan.join(arms[nxt][0], gcols + shared)
+            bound_vars |= set(arms[nxt][1])
+            binding.discard(nxt)
+    else:
+        plan, bound_vars = None, set()
+    return plan, bound_vars, order, [arms[i][0] for i in sorted(guards)]
+
+
 def bgp(
     triples: DataFrame, patterns: list,
     select: list | None = None,
+    optional: list | None = None,
     graph: str | None = None, carry_graph: bool = False,
 ) -> DataFrame:
     """Generic basic-graph-pattern composer: evaluate an ARBITRARY
@@ -614,69 +671,85 @@ def bgp(
     subject-bucketed table (test-pinned); nothing is a cartesian
     and no side is assumed broadcastable.
 
+    ``optional`` is a list of pattern GROUPS — each a list of triple
+    patterns forming one SPARQL ``OPTIONAL { … }`` clause, left-joined
+    to the required solutions on the variables it shares with the
+    REQUIRED patterns: subjects missing the optional sub-pattern keep
+    their rows with NULL in the group's new columns, matching rows
+    fan out (standard OPTIONAL semantics).  Each group must share at
+    least one variable with the required patterns, and may not reuse
+    a variable another optional group introduced (joining optional
+    arms through each other's possibly-NULL bindings is the
+    spec-divergence trap documented on :func:`bgp_minus`; SPARQL's
+    nested-OPTIONAL forms that genuinely need it should nest
+    explicit joins instead).  Because every join key is
+    required-bound — never NULL — the plain left join IS the
+    spec-exact left-outer-join semantics here, with no unbound-
+    compatibility caveat.  Subsumes ``bgp_star(optional_preds=…)``:
+    a one-pattern group ``[("?s", p, "?o")]`` is exactly an OPTIONAL
+    star arm, and a multi-pattern group is the OPTIONAL sub-CHAIN no
+    fixed verb expresses (``OPTIONAL { ?o :cust ?c . ?c :nation ?n }``).
+
     ``graph``/``carry_graph`` add the SPARQL GRAPH clause (see
     :func:`_graph_scope`): with ``carry_graph`` every arm carries
     ``g`` and every join adds ``g`` to its key, so all arms match
     within the SAME named graph; arms connected ONLY through ``g``
     still count as disconnected (a per-graph cartesian is still a
-    cartesian)."""
+    cartesian).  Optional groups join per named graph too (``g``
+    rides every left-join key)."""
     if not patterns:
         raise ValueError("patterns must be non-empty")
     t = _graph_scope(triples, graph, carry_graph)
     gcols = ["g"] if carry_graph else []
 
-    arms, order = [], []
-    for pat in patterns:
-        if len(pat) != 3:
-            raise ValueError(f"pattern must be (s, p, o): {pat!r}")
-        df, names = _bgp_arm(t, pat, gcols)
-        s, p, o = pat
-        bound = (4 * (not _is_bgp_var(s)) + 2 * (not _is_bgp_var(o))
-                 + (not _is_bgp_var(p)))
-        subj = s[1:] if _is_bgp_var(s) else None
-        arms.append((df, names, bound, subj))
-        for v in names:
-            if v not in order:
-                order.append(v)
+    plan, bound_vars, order, guard_arms = _bgp_join_tree(
+        t, patterns, gcols)
 
-    remaining = set(range(len(arms)))
-    guards = {i for i in remaining if not arms[i][1]}
-    binding = remaining - guards
-    if binding:
-        start = max(binding,
-                    key=lambda i: (arms[i][2], -i))
-        plan, bound_vars = arms[start][0], set(arms[start][1])
-        binding.discard(start)
-        while binding:
-            cands = [i for i in binding
-                     if set(arms[i][1]) & bound_vars]
-            if not cands:
-                miss = [patterns[i] for i in sorted(binding)]
-                raise ValueError(
-                    f"disconnected BGP (cartesian product) — these"
-                    f" patterns share no variable with the rest:"
-                    f" {miss}; evaluate them as a separate bgp() and"
-                    f" crossJoin explicitly if a product is intended")
-            nxt = max(cands, key=lambda i: (
-                arms[i][3] in bound_vars, arms[i][2], -i))
-            shared = sorted(set(arms[nxt][1]) & bound_vars)
-            plan = plan.join(arms[nxt][0], gcols + shared)
-            bound_vars |= set(arms[nxt][1])
-            binding.discard(nxt)
-    else:
-        plan, bound_vars = None, set()
-
-    for i in sorted(guards):
+    for i, garm in enumerate(guard_arms):
         flag = f"_guard{i}"
-        g = arms[i][0]
         if carry_graph:
-            g = g.select("g", F.lit(1).alias(flag)).distinct()
+            g = garm.select("g", F.lit(1).alias(flag)).distinct()
             plan = (g if plan is None
                     else plan.join(g, "g")).drop(flag)
         else:
-            g = g.limit(1).select(F.lit(1).alias(flag))
+            g = garm.limit(1).select(F.lit(1).alias(flag))
             plan = (g if plan is None
                     else plan.crossJoin(F.broadcast(g))).drop(flag)
+
+    if optional:
+        if not bound_vars:
+            raise ValueError(
+                "optional groups need at least one variable-binding"
+                " required pattern to left-join against")
+        opt_new: set = set()
+        for group in optional:
+            if not group:
+                raise ValueError("optional group must be non-empty")
+            sub, sub_vars, sub_order, sub_guards = _bgp_join_tree(
+                t, group, gcols)
+            if sub_guards:
+                raise ValueError(
+                    "fully-ground pattern inside an OPTIONAL group is"
+                    " a no-op guard — move it to the required"
+                    " patterns")
+            collide = sorted(sub_vars & opt_new)
+            if collide:
+                raise ValueError(
+                    f"OPTIONAL group {group} reuses variables"
+                    f" introduced by another optional group:"
+                    f" {collide} — join through required-bound"
+                    f" variables only, or nest explicit joins")
+            shared = sorted(sub_vars & (bound_vars - opt_new))
+            if not shared:
+                raise ValueError(
+                    f"OPTIONAL group {group} shares no variable with"
+                    f" the required patterns")
+            plan = plan.join(sub, gcols + shared, "left")
+            new = sub_vars - bound_vars
+            opt_new |= new
+            bound_vars |= sub_vars
+            order.extend(v for v in sub_order if v not in order)
+
     if not bound_vars and not carry_graph and select is None:
         # all-ground ASK-style bgp: one row when every guard holds
         return plan.select(F.lit(True).alias("matched"))
@@ -687,6 +760,58 @@ def bgp(
     if bad:
         raise ValueError(f"select names unbound variables: {bad}")
     return plan.select(*gcols, *out).distinct()
+
+
+def bgp_union(
+    triples: DataFrame, groups: list,
+    select: list | None = None,
+    graph: str | None = None, carry_graph: bool = False,
+) -> DataFrame:
+    """SPARQL ``UNION``: evaluate each pattern group as its own
+    basic graph pattern (via :func:`bgp`) and take the union of the
+    solution sets, aligned BY VARIABLE NAME — a variable unbound in
+    some branch yields NULL there (SPARQL's unbound), exactly the
+    alternation every real query mixes with conjunction
+    (``{ ?d :license ?l } UNION { ?d :rights ?l }``, differing-arity
+    branches included).  Output: distinct rows over ``select``
+    (default: every variable of every branch, first-appearance order
+    across branches), plus a leading ``g`` column with
+    ``carry_graph``.  Set semantics (DISTINCT), consistent with the
+    other BGP verbs.
+
+    Each group is a pattern list in :func:`bgp`'s grammar (shared
+    variable names across branches mean the same output column, NOT
+    a cross-branch join — UNION branches evaluate independently).
+
+    Scale shape: branches are independent BGP join trees (each
+    arm's constants scan-pushed, hash joins on shared variables
+    only) glued by a zero-shuffle ``unionByName`` — missing columns
+    materialize as NULL literals, no exchange is added, and the
+    trailing distinct is the only union-level shuffle (width = the
+    variable count).  Branch count is query-sized, never data-sized.
+
+    ``graph``/``carry_graph`` scope every branch identically (see
+    :func:`_graph_scope`); with ``carry_graph`` each branch matches
+    within one named graph and ``g`` aligns across branches."""
+    if not groups:
+        raise ValueError("groups must be non-empty")
+    gcols = ["g"] if carry_graph else []
+    sols, order = [], []
+    for group in groups:
+        d = bgp(triples, group, graph=graph, carry_graph=carry_graph)
+        sols.append(d)
+        order.extend(c for c in d.columns
+                     if c not in gcols and c not in order)
+    out = sols[0]
+    for d in sols[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    cols = [v.lstrip("?") for v in (select if select is not None
+                                    else order)]
+    bad = [v for v in cols if v not in order]
+    if bad:
+        raise ValueError(f"select names variables bound in no"
+                         f" branch: {bad}")
+    return out.select(*gcols, *cols).distinct()
 
 
 def characteristic_sets(triples: DataFrame) -> DataFrame:

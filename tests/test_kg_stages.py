@@ -1601,3 +1601,200 @@ def test_bgp_generic_graph_carry_matches_per_graph_union(spark):
         assert got == want, f"seed {seed}"
         const = {tuple(r) for r in bgp(q, pats, graph="g1").collect()}
         assert const == {x[1:] for x in want if x[0] == "g1"}, seed
+
+
+def _brute_bgp_seeded(tri, patterns, seed):
+    """_brute_bgp starting from one pre-bound solution (the OPTIONAL
+    left-join semantics: the group evaluates with the required
+    binding's shared variables already fixed)."""
+    sols = [dict(seed)]
+    for (ps, pp, po) in patterns:
+        nxt = []
+        for b in sols:
+            for (s, p, o) in tri:
+                b2 = dict(b)
+                ok = True
+                for term, val in ((ps, s), (pp, p), (po, o)):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if b2.get(v, val) != val:
+                            ok = False
+                            break
+                        b2[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(b2)
+        sols = nxt
+    return sols
+
+
+def test_bgp_optional_matches_bruteforce_random(spark):
+    """OPTIONAL groups on the generic composer equal the naive
+    left-join evaluation over random graphs: matching groups fan
+    out, non-matching ones keep the required row with NULL in the
+    group's new columns, and multiple groups extend independently."""
+    import random
+
+    from serd_spark.operators.kg import bgp
+
+    cases = [
+        # one-arm group (the bgp_star optional_preds shape)
+        ([("?s", "p1", "?x")], [[("?s", "p2", "?y")]]),
+        # optional CHAIN hanging off a required chain end
+        ([("?s", "p1", "?x")],
+         [[("?x", "p2", "?y"), ("?y", "p3", "?z")]]),
+        # two independent groups off different required vars
+        ([("?s", "p1", "?x"), ("?x", "p2", "?w")],
+         [[("?s", "p3", "?u")], [("?w", "p1", "?v")]]),
+    ]
+    for seed in (7, 59, 812):
+        rng = random.Random(seed)
+        tri = sorted({(f"n{rng.randint(0, 5)}",
+                       rng.choice(["p1", "p2", "p3"]),
+                       f"n{rng.randint(0, 5)}") for _ in range(25)})
+        t = _triples_df(spark, tri)
+        for pats, groups in cases:
+            out_vars = sorted(
+                {x[1:] for pat in pats for x in pat
+                 if x.startswith("?")} |
+                {x[1:] for g in groups for pat in g for x in pat
+                 if x.startswith("?")})
+            want = set()
+            for b in _brute_bgp(tri, pats):
+                exts = [dict(b)]
+                for g in groups:
+                    nxt = []
+                    for e in exts:
+                        ms = _brute_bgp_seeded(tri, g, e)
+                        nxt.extend(ms if ms else [e])
+                    exts = nxt
+                for e in exts:
+                    want.add(tuple(e.get(v) for v in out_vars))
+            got = {tuple(r[v] for v in out_vars)
+                   for r in bgp(t, pats, select=out_vars,
+                                optional=groups).collect()}
+            assert got == want, f"seed {seed} case {pats} {groups}"
+
+
+def test_bgp_optional_validation(spark):
+    """OPTIONAL groups must connect to the required patterns, may
+    not share variables with each other, may not be ground guards,
+    and need a variable-binding required side."""
+    from serd_spark.operators.kg import bgp
+
+    t = _triples_df(spark, [("a", "p", "b"), ("b", "q", "c")])
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp(t, [("?x", "p", "?y")], optional=[[("?v", "q", "?w")]])
+    with pytest.raises(ValueError, match="reuses variables"):
+        bgp(t, [("?x", "p", "?y")],
+            optional=[[("?y", "q", "?z")], [("?z", "q", "?w")]])
+    with pytest.raises(ValueError, match="guard"):
+        bgp(t, [("?x", "p", "?y")], optional=[[("b", "q", "c")]])
+    with pytest.raises(ValueError, match="non-empty"):
+        bgp(t, [("?x", "p", "?y")], optional=[[]])
+    with pytest.raises(ValueError, match="binding"):
+        bgp(t, [("a", "p", "b")], optional=[[("?x", "q", "?y")]])
+    # optional vars are selectable; NULL where the group missed
+    rows = {(r.x, r.y, r.z) for r in
+            bgp(t, [("?x", "p", "?y")],
+                optional=[[("?y", "q", "?z")]]).collect()}
+    assert rows == {("a", "b", "c")}
+    rows2 = {(r.x, r.z) for r in
+             bgp(t, [("?x", "?p2", "?y")], select=["x", "z"],
+                 optional=[[("?y", "q", "?z")]]).collect()}
+    assert rows2 == {("a", "c"), ("b", None)}
+
+
+def test_bgp_optional_exchange_free_over_buckets(spark):
+    """An optional star arm keeps the composer's plan property: the
+    LEFT join on the same subject key adds no Exchange over a
+    subject-bucketed table."""
+    from serd_spark.operators.kg import bgp
+    from serd_spark.operators.materialize import write_bucketed_triples
+
+    rows = [(f"s{i}", p, f"{p}_v{i % 5}")
+            for i in range(200) for p in ("p1", "p2")] + \
+           [(f"s{i}", "p3", f"p3_v{i}") for i in range(0, 200, 2)]
+    t = _triples_df(spark, rows)
+    write_bucketed_triples(t, "t_bgp_opt_plan", n_buckets=4)
+    bt = spark.table("t_bgp_opt_plan")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        star = bgp(bt, [("?s", "p1", "?a"), ("?s", "p2", "?b")],
+                   optional=[[("?s", "p3", "?c")]])
+        plan = star._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange") == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bgp_union_matches_bruteforce_random(spark):
+    """UNION equals the per-branch solution-set union aligned by
+    variable name, with NULL (unbound) where a branch does not bind
+    a variable — over random graphs and differing-arity branches."""
+    import random
+
+    from serd_spark.operators.kg import bgp_union
+
+    cases = [
+        # same vars both branches (license|rights shape)
+        [[("?d", "p1", "?l")], [("?d", "p2", "?l")]],
+        # differing arity: branch 2 binds an extra variable
+        [[("?d", "p1", "?l")],
+         [("?d", "p2", "?l"), ("?l", "p3", "?m")]],
+        # disjoint var sets beyond the first
+        [[("?d", "p1", "?a")], [("?d", "p2", "?b")]],
+    ]
+    for seed in (13, 77):
+        rng = random.Random(seed)
+        tri = sorted({(f"n{rng.randint(0, 5)}",
+                       rng.choice(["p1", "p2", "p3"]),
+                       f"n{rng.randint(0, 5)}") for _ in range(25)})
+        t = _triples_df(spark, tri)
+        for groups in cases:
+            all_vars = []
+            for g in groups:
+                for pat in g:
+                    for x in pat:
+                        if x.startswith("?") and x[1:] not in all_vars:
+                            all_vars.append(x[1:])
+            want = set()
+            for g in groups:
+                for b in _brute_bgp(tri, g):
+                    want.add(tuple(b.get(v) for v in all_vars))
+            got = {tuple(r[v] for v in all_vars)
+                   for r in bgp_union(t, groups).collect()}
+            assert got == want, f"seed {seed} groups {groups}"
+
+
+def test_bgp_union_validation_and_graph(spark):
+    """UNION validates its inputs and scopes branches per graph with
+    carry_graph (g aligns across branches)."""
+    from serd_spark.operators.kg import bgp_union
+
+    t = _triples_df(spark, [("a", "p", "b"), ("a", "q", "c")])
+    with pytest.raises(ValueError, match="non-empty"):
+        bgp_union(t, [])
+    with pytest.raises(ValueError, match="no branch"):
+        bgp_union(t, [[("?x", "p", "?y")]], select=["zz"])
+
+    rows = {(r.x, r.y) for r in
+            bgp_union(t, [[("?x", "p", "?y")],
+                          [("?x", "q", "?y")]]).collect()}
+    assert rows == {("a", "b"), ("a", "c")}
+
+    q = _quads_df(spark, [("g1", "a", "p", "b"),
+                          ("g2", "a", "q", "c")])
+    gr = {(r.g, r.x, r.y) for r in
+          bgp_union(q, [[("?x", "p", "?y")], [("?x", "q", "?y")]],
+                    carry_graph=True).collect()}
+    assert gr == {("g1", "a", "b"), ("g2", "a", "c")}
+    cg = {(r.x, r.y) for r in
+          bgp_union(q, [[("?x", "p", "?y")], [("?x", "q", "?y")]],
+                    graph="g2").collect()}
+    assert cg == {("a", "c")}
