@@ -4633,6 +4633,142 @@ def _o_kg_union(_: str) -> str:
     """
 
 
+def _q_kg_filter_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER + FILTER EXISTS + FILTER NOT EXISTS on the
+    generic composer, each clause load-bearing on the triangle
+    corpus: ``?o :cust ?c . ?c :nation ?n`` keeping only solutions
+    where the order does NOT ship to the customer's nation (NOT
+    EXISTS — removes the even orders, whose ships_to edge closes the
+    triangle), where SOME order ships to that nation (EXISTS — the
+    semi join; decoy IRIs never match a real nation), where a plain
+    FILTER prunes one nation constant, and a BIND computes a
+    ``?pair`` key from two bound variables (the projection-only
+    assignment).  A composer that misroutes any clause (anti for
+    semi, filter before the left join, NULL-key leak, BIND over the
+    wrong columns) changes the row set and hash-fails."""
+    from serd_spark.operators.kg import bgp
+
+    t = _cached_triples(spark, sf_dir, "triangle",
+                        lambda: _kg_triangle_triples(spark, sf_dir))
+    return bgp(t, [("?o", "urn:schema:cust", "?c"),
+                   ("?c", "urn:schema:nation", "?n")],
+               not_exists=[[("?o", "urn:schema:ships_to", "?n")]],
+               exists=[[("?x", "urn:schema:ships_to", "?n")]],
+               filters=["n <> 'urn:nation:3'"],
+               bind={"pair": "concat(c, '/', n)"})
+
+
+def _o_kg_filter_exists(_: str) -> str:
+    return """
+    SELECT DISTINCT 'urn:order:' || o_orderkey AS o,
+           'urn:cust:' || o_custkey AS c,
+           'urn:nation:' || c_nationkey AS n,
+           'urn:cust:' || o_custkey || '/urn:nation:' || c_nationkey
+               AS pair
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 2 = 1
+      AND 'urn:nation:' || c_nationkey <> 'urn:nation:3'
+      AND EXISTS (SELECT 1 FROM orders o2
+                  JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+                  WHERE o2.o_orderkey % 2 = 0
+                    AND c2.c_nationkey = customer.c_nationkey)
+    """
+
+
+def _q_kg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregation over the composer under the exact gate:
+    per-nation rollup of the triangle corpus — ``SELECT ?n (COUNT(*)
+    …) (COUNT(DISTINCT ?c) …) (MAX(?c) …) WHERE { ?o :cust ?c . ?c
+    :nation ?n } GROUP BY ?n HAVING n_cust > 1``.  COUNT runs over
+    the DISTINCT solution set (one row per order — the BGP multiset
+    for this shape), COUNT DISTINCT exercises the two-phase distinct
+    plan, MAX the term-ordering aggregate, HAVING the post-aggregate
+    filter; any double-counting from a non-distinct solution join
+    inflates n_orders and hash-fails."""
+    from serd_spark.operators.kg import bgp_agg
+
+    t = _cached_triples(spark, sf_dir, "triangle",
+                        lambda: _kg_triangle_triples(spark, sf_dir))
+    return bgp_agg(t, [("?o", "urn:schema:cust", "?c"),
+                       ("?c", "urn:schema:nation", "?n")],
+                   ["?n"],
+                   {"n_orders": ("count",),
+                    "n_cust": ("count_distinct", "?c"),
+                    "top_cust": ("max", "?c")},
+                   having="n_cust > 1")
+
+
+def _o_kg_agg(_: str) -> str:
+    return """
+    SELECT 'urn:nation:' || c_nationkey AS n,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT 'urn:cust:' || o_custkey) AS n_cust,
+           MAX('urn:cust:' || o_custkey) AS top_cust
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    HAVING COUNT(DISTINCT 'urn:cust:' || o_custkey) > 1
+    """
+
+
+def _q_kg_path_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A PROPERTY-PATH ARM inside the generic composer — the SPARQL
+    1.1 mixing no fixed verb expresses: ``?a child{2,3} ?z . ?z
+    child ?l`` over the orderkey-octree edges (grand/great-grand
+    descendants that themselves have a child).  The quantified arm
+    runs as a pair-frontier join chain, the plain arm joins on its
+    endpoint, and the oracle unrolls the same bounded repetition as
+    chained CTEs; an off-by-one in the repetition window (including
+    length-1 or length-4 paths) changes the row set and
+    hash-fails."""
+    from serd_spark.operators.kg import bgp
+    from serd_spark.operators.parse import (
+        parse_documents,
+        split_quarantine,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lit("<urn:n:"),
+        F.floor(F.col("o_orderkey") / 8).cast("long"),
+        F.lit("> <urn:schema:child> <urn:n:"), "o_orderkey",
+        F.lit("> <urn:graph:"), F.col("o_orderkey") % 3,
+        F.lit("> ."))
+    tdf = orders.where(
+        (F.col("o_orderkey") >= 1) & (F.col("o_orderstatus") != "P")
+    ).select(
+        F.concat(F.lit("q"), F.col("o_custkey").cast("string"))
+        .alias("conv_id"),
+        F.col("o_orderkey").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"), line.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+
+    def build():
+        t, _ = split_quarantine(parse_documents(tdf, syntax="nquads"))
+        return t
+
+    quads = _cached_triples(spark, sf_dir, "octree_quads", build)
+    return bgp(quads,
+               [("?a", {"path": "urn:schema:child",
+                        "min": 2, "max": 3}, "?z"),
+                ("?z", "urn:schema:child", "?l")])
+
+
+def _o_kg_path_bgp(_: str) -> str:
+    return """
+    WITH e AS (
+        SELECT 'urn:n:' || CAST(o_orderkey // 8 AS BIGINT) AS src,
+               'urn:n:' || o_orderkey AS dst
+        FROM orders WHERE o_orderkey >= 1 AND o_orderstatus <> 'P'),
+    p2 AS (SELECT x.src AS a, y.dst AS z
+           FROM e x JOIN e y ON x.dst = y.src),
+    p3 AS (SELECT p2.a, e.dst AS z FROM p2 JOIN e ON p2.z = e.src),
+    pp AS (SELECT a, z FROM p2 UNION SELECT a, z FROM p3)
+    SELECT DISTINCT pp.a, pp.z, e.dst AS l
+    FROM pp JOIN e ON pp.z = e.src
+    """
+
+
 def _o_kg_turtle_expand(_: str) -> str:
     return """
     SELECT 'urn:order:' || o_orderkey AS s,
@@ -4694,17 +4830,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position 50 silently drops it from the external gate (the
     round-4 lesson).
 
-    Round-8 window: (1) this round's four never-driver-verified rows
-    — the generic BGP composer (kg_bgp), its OPTIONAL groups
-    (kg_bgp_optional), SPARQL UNION (kg_union), and the GRAPH-scoped
-    transitive closure (kg_graph_path); (2) the predefined rotation:
-    the 15 round-5-verified session/event rows then 31 of the 35
-    round-6-verified rows (exact_dedup, quality, ngram_jaccard and
-    cosine_topk retired, below — the retirements come OUT of the
-    window section, so no surviving window row slips past position
-    50).  Below the line: the 50 round-7-verified rows — the round-9
-    window — so every live row's external verification stays ≤ 2
-    rounds old (VERDICT r6 #8).
+    Round-8 window: (1) this round's seven never-driver-verified
+    rows — the generic BGP composer (kg_bgp), its OPTIONAL groups
+    (kg_bgp_optional), SPARQL UNION (kg_union), FILTER/EXISTS/NOT-
+    EXISTS clauses (kg_filter_exists), aggregation with HAVING
+    (kg_agg), a property-path arm inside the composer (kg_path_bgp),
+    and the GRAPH-scoped transitive closure (kg_graph_path); (2) the
+    predefined rotation: the 15 round-5-verified session/event rows
+    then 28 of the 35 round-6-verified rows (exact_dedup, quality,
+    ngram_jaccard, cosine_topk, winnowing, simhash and contamination
+    retired, below — the retirements come OUT of the window section,
+    so no surviving window row slips past position 50).  Below the
+    line: the 50 round-7-verified rows — the round-9 window — so
+    every live row's external verification stays ≤ 2 rounds old
+    (VERDICT r6 #8).
 
     Size policy (VERDICT r6 #8): the LIVE registry is capped at 100
     entries — two gate windows — so the rotation period never
@@ -4719,16 +4858,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     set_ops, langid, fingerprint, token_counts, vocab_topk,
     stratified_sample, doc_profile, repetition.  Retired round 8
     (retire-on-add for kg_bgp/kg_graph_path, then
-    kg_bgp_optional/kg_union; each hash-green in FIVE driver gates
-    r1/r2/r3/r4/r6): exact_dedup, quality, ngram_jaccard,
-    cosine_topk — the latter two's scale-path siblings
-    (prefix_jaccard, tfidf_cosine, simhash_pairs,
-    minhash_incremental, embedding_neardup) all stay live."""
+    kg_bgp_optional/kg_union, then kg_filter_exists/kg_agg/
+    kg_path_bgp; each hash-green in four-plus driver gates spanning
+    r1-r6): exact_dedup, quality, ngram_jaccard, cosine_topk,
+    winnowing, simhash, contamination — every retiree's scale-path
+    sibling stays live (prefix_jaccard, tfidf_cosine,
+    winnowing_matches, simhash_pairs, semantic_decon,
+    minhash_incremental, embedding_neardup)."""
     return {
         # -- (1) NEVER driver-verified: new this round ----------------
         "kg_bgp": _q_kg_bgp,
         "kg_bgp_optional": _q_kg_bgp_optional,
         "kg_union": _q_kg_union,
+        "kg_filter_exists": _q_kg_filter_exists,
+        "kg_agg": _q_kg_agg,
+        "kg_path_bgp": _q_kg_path_bgp,
         "kg_graph_path": _q_kg_graph_path,
         # -- (2a) last verified round 5: session/event family ---------
         "sessionize": _q_sessionize,
@@ -4747,21 +4891,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_rollup": _q_region_rollup,
         "status_pivot": _q_status_pivot,
         # -- (2b) last verified round 6 -------------------------------
-        "winnowing": _q_winnowing,
         "nt_roundtrip": _q_nt_roundtrip,
         "dedup_keep_best": _q_dedup_keep_best,
         "minhash_lsh": _q_minhash_lsh,
         "minhash_incremental": _q_minhash_incremental,
         "dedup_clusters": _q_dedup_clusters,
         "cluster_reps": _q_cluster_reps,
-        "simhash": _q_simhash,
         "cdc_spans": _q_cdc_spans,
         "dup_ngram": _q_dup_ngram,
         "embedding_neardup": _q_embedding_neardup,
         "tfidf_topk": _q_tfidf_topk,
         "bigram_pmi": _q_bigram_pmi,
         "source_quality": _q_source_quality,
-        "contamination": _q_contamination,
         "pack_chunks": _q_pack_chunks,
         "stratified_take": _q_stratified_take,
         "langid_eval": _q_langid_eval,
@@ -4864,6 +5005,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str],
         "repetition": _q_repetition,
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
+        "winnowing": _q_winnowing,
+        "simhash": _q_simhash,
+        "contamination": _q_contamination,
     }
 
 
@@ -4874,6 +5018,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_optional": _o_kg_bgp_optional(sf),
         "kg_union": _o_kg_union(sf),
         "kg_graph_path": _o_kg_graph_path(sf),
+        "kg_filter_exists": _o_kg_filter_exists(sf),
+        "kg_agg": _o_kg_agg(sf),
+        "kg_path_bgp": _o_kg_path_bgp(sf),
         "nt_roundtrip": _o_nt_roundtrip(sf),
         "dedup_keep_best": _o_dedup_keep_best(sf),
         "minhash_lsh": _o_minhash_lsh(sf),
@@ -4891,10 +5038,8 @@ def oracle_sql() -> dict[str, str]:
         "source_quality": _o_source_quality(sf),
         "kg_relations": _o_kg_relations(sf),
         "kg_entity_rank": _o_kg_entity_rank(sf),
-        "simhash": _o_simhash(sf),
         "langid_eval": _o_langid_eval(sf),
         "lm_score": _o_lm_score(sf),
-        "winnowing": _o_winnowing(sf),
         "winnowing_matches": _o_winnowing_matches(sf),
         "stratified_take": _o_stratified_take(sf),
         "pii_scrub": _o_pii_scrub(sf),
@@ -4943,7 +5088,6 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _o_curation_pipeline(sf),
         "interval_join": _o_interval_join(sf),
         "lm_heldout": _o_lm_heldout(sf),
-        "contamination": _o_contamination(sf),
         "pack_chunks": _o_pack_chunks(sf),
         "embedding_neardup": _o_embedding_neardup(sf),
         "semantic_decon": _o_semantic_decon(sf),
@@ -4997,4 +5141,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "repetition": _o_repetition(sf),
         "ngram_jaccard": _o_ngram_jaccard(sf),
         "cosine_topk": _o_cosine_topk(sf),
+        "winnowing": _o_winnowing(sf),
+        "simhash": _o_simhash(sf),
+        "contamination": _o_contamination(sf),
     }

@@ -564,27 +564,98 @@ def _bgp_arm(t: DataFrame, pat, gcols: list):
     return df, names
 
 
+def _bgp_path_arm(t: DataFrame, pat, gcols: list,
+                  carry_graph: bool):
+    """One PROPERTY-PATH pattern as a binding arm of the composer —
+    a pattern whose predicate position is a dict path spec instead
+    of a term:
+
+    - ``{"path": [hop, …]}`` — fixed sequence (``p1/p2/…``, hops in
+      :func:`bgp_path`'s grammar: ``"^p"`` inverse, list
+      alternation, ``"!p1|^p2"`` negated set)
+    - ``{"path": hop, "min": n, "max": m}`` — quantified repetition
+      (``p{n,m}``; ``"max": None`` for the ``p*``/``p+`` closures;
+      optional ``"max_iters"`` forwards the closure backstop)
+
+    Endpoint terms follow the normal pattern grammar: variables
+    bind, constants filter (pushed into the path's endpoint
+    columns), and the same variable at both ends (``?a p+ ?a`` —
+    cycle membership) becomes an equality filter.  Returns the same
+    ``(df, names)`` shape as :func:`_bgp_arm`."""
+    s, spec, o = pat
+    q = dict(spec)
+    hops = q.pop("path", None)
+    n_min, n_max = q.pop("min", None), q.pop("max", "_absent")
+    max_iters = q.pop("max_iters", 30)
+    if q:
+        raise ValueError(f"unknown path-spec keys {sorted(q)} in"
+                         f" pattern {pat!r} (expected 'path', 'min',"
+                         f" 'max', 'max_iters')")
+    if hops is None:
+        raise ValueError(f"path spec needs a 'path' entry: {pat!r}")
+    if n_min is None and n_max == "_absent":
+        seq = hops if isinstance(hops, list) else [hops]
+        df = bgp_path(t, seq, out_cols=("_pa", "_pz"),
+                      carry_graph=carry_graph)
+    else:
+        df = bgp_path_quant(
+            t, hops, n_min if n_min is not None else 0,
+            None if n_max == "_absent" else n_max,
+            out_cols=("_pa", "_pz"), max_iters=max_iters,
+            carry_graph=carry_graph)
+    names: dict[str, str] = {}
+    for pos, term in (("_pa", s), ("_pz", o)):
+        if _is_bgp_var(term):
+            v = term[1:]
+            if not v:
+                raise ValueError(f"bare '?' variable in {pat!r}")
+            if v == "g":
+                raise ValueError(
+                    "variable name 'g' is reserved for carry_graph")
+            if v in names:
+                df = df.where(F.col(pos) == F.col(names[v]))
+            else:
+                names[v] = pos
+        else:
+            df = df.where(F.col(pos) == F.lit(term))
+    df = df.select(*gcols, *(F.col(pos).alias(v)
+                             for v, pos in names.items()))
+    return df, names
+
+
 def _bgp_join_tree(
     t: DataFrame, patterns: list, gcols: list,
 ) -> tuple:
     """Greedy selectivity-ordered join tree over a pattern
-    conjunction — the shared planner of :func:`bgp` (required and
-    OPTIONAL groups alike).  Returns ``(plan, bound_vars, order,
-    guard_arms)``: ``plan`` is the joined binding DataFrame (None
-    when every pattern is fully ground), ``bound_vars`` the set of
-    variables it binds, ``order`` their first-appearance order, and
-    ``guard_arms`` the filtered-but-variable-free DataFrames of
-    fully-ground patterns (ASK-style guards), for the caller to fold
-    in as broadcast existence flags.  Disconnected conjunctions
-    raise rather than cross-product."""
+    conjunction — the shared planner of :func:`bgp` (required,
+    OPTIONAL, EXISTS and NOT-EXISTS groups alike).  Returns
+    ``(plan, bound_vars, order, guard_arms)``: ``plan`` is the
+    joined binding DataFrame (None when every pattern is fully
+    ground), ``bound_vars`` the set of variables it binds, ``order``
+    their first-appearance order, and ``guard_arms`` the
+    filtered-but-variable-free DataFrames of fully-ground patterns
+    (ASK-style guards), for the caller to fold in as broadcast
+    existence flags.  Disconnected conjunctions raise rather than
+    cross-product.  A pattern whose predicate position is a dict is
+    a PROPERTY-PATH arm (see :func:`_bgp_path_arm`) — paths compose
+    with plain conjunction (``?x knows+ ?y . ?y name ?n``), ordered
+    last among equally-bound arms (a closure's cardinality estimate
+    is the weakest)."""
     arms, order = [], []
     for pat in patterns:
         if len(pat) != 3:
             raise ValueError(f"pattern must be (s, p, o): {pat!r}")
-        df, names = _bgp_arm(t, pat, gcols)
         s, p, o = pat
-        bound = (4 * (not _is_bgp_var(s)) + 2 * (not _is_bgp_var(o))
-                 + (not _is_bgp_var(p)))
+        if isinstance(p, dict):
+            df, names = _bgp_path_arm(t, pat, gcols,
+                                      carry_graph=bool(gcols))
+            bound = (4 * (not _is_bgp_var(s))
+                     + 2 * (not _is_bgp_var(o)) - 1)
+        else:
+            df, names = _bgp_arm(t, pat, gcols)
+            bound = (4 * (not _is_bgp_var(s))
+                     + 2 * (not _is_bgp_var(o))
+                     + (not _is_bgp_var(p)))
         subj = s[1:] if _is_bgp_var(s) else None
         arms.append((df, names, bound, subj))
         for v in names:
@@ -624,6 +695,10 @@ def bgp(
     triples: DataFrame, patterns: list,
     select: list | None = None,
     optional: list | None = None,
+    filters: list | None = None,
+    exists: list | None = None,
+    not_exists: list | None = None,
+    bind: dict | None = None,
     graph: str | None = None, carry_graph: bool = False,
 ) -> DataFrame:
     """Generic basic-graph-pattern composer: evaluate an ARBITRARY
@@ -690,13 +765,53 @@ def bgp(
     star arm, and a multi-pattern group is the OPTIONAL sub-CHAIN no
     fixed verb expresses (``OPTIONAL { ?o :cust ?c . ?c :nation ?n }``).
 
+    A pattern whose PREDICATE position is a dict is a property-path
+    arm (see :func:`_bgp_path_arm`): ``{"path": [h1, h2]}`` for the
+    fixed sequence ``h1/h2``, ``{"path": h, "min": n, "max": m}``
+    for the quantified forms incl. ``"max": None`` closures — so
+    paths compose with conjunction (``?x knows+ ?y . ?y name ?n``),
+    OPTIONAL, EXISTS and NOT EXISTS, the SPARQL 1.1 mixing the fixed
+    path verbs can't express alone.
+
+    ``filters`` is a list of SQL expression strings over the
+    variable columns — SPARQL ``FILTER`` (``"n <> 'x'"``,
+    ``"o < c"``, ``regexp``, ``c IS NOT NULL`` for ``BOUND(?c)``),
+    applied to the solution AFTER optional groups, standard
+    top-level FILTER placement.  Spark's NULL comparison semantics
+    align with SPARQL's error-elimination: a comparison on an
+    unbound (NULL, from OPTIONAL) variable is NULL → row removed,
+    exactly the spec's type-error-eliminates behavior.  Catalyst
+    pushes each conjunct below the joins it permits — a filter on
+    one arm's variable reaches that arm's scan.
+
+    ``exists``/``not_exists`` are lists of pattern GROUPS in the
+    same grammar — SPARQL ``FILTER EXISTS { … }`` / ``FILTER NOT
+    EXISTS { … }``: one semi / anti hash join per group on the
+    variables shared with the REQUIRED patterns (required-bound
+    keys are never NULL, so the join IS the spec's compatibility
+    test; groups touching only OPTIONAL-introduced variables are
+    rejected — route NULL-aware subtraction through
+    :func:`bgp_minus` ``compat='partial'``).  Subsumes
+    :func:`bgp_not_exists`.  Groups sharing no variable at all are
+    rejected too (an existence test detached from the bindings is
+    an ASK — run it as a ground-pattern guard or its own bgp).
+
+    ``bind`` maps NEW variable names to SQL expressions over the
+    bound columns — SPARQL ``BIND(expr AS ?v)``
+    (``{"pair": "concat(c, '/', n)"}``); computed after
+    OPTIONAL/EXISTS/filters (top-level BIND placement), selectable
+    like any variable, pure projection (no exchange).  Rebinding an
+    existing variable is rejected (the spec's in-scope-variable
+    error).
+
     ``graph``/``carry_graph`` add the SPARQL GRAPH clause (see
     :func:`_graph_scope`): with ``carry_graph`` every arm carries
     ``g`` and every join adds ``g`` to its key, so all arms match
     within the SAME named graph; arms connected ONLY through ``g``
     still count as disconnected (a per-graph cartesian is still a
     cartesian).  Optional groups join per named graph too (``g``
-    rides every left-join key)."""
+    rides every left-join key), and EXISTS/NOT-EXISTS groups test
+    within the solution's own named graph."""
     if not patterns:
         raise ValueError("patterns must be non-empty")
     t = _graph_scope(triples, graph, carry_graph)
@@ -749,6 +864,56 @@ def bgp(
             opt_new |= new
             bound_vars |= sub_vars
             order.extend(v for v in sub_order if v not in order)
+    else:
+        opt_new = set()
+
+    for groups, how, kw in ((exists, "left_semi", "EXISTS"),
+                            (not_exists, "left_anti", "NOT EXISTS")):
+        for group in (groups or []):
+            if not group:
+                raise ValueError(f"{kw} group must be non-empty")
+            if not bound_vars:
+                raise ValueError(
+                    f"{kw} groups need at least one variable-binding"
+                    f" required pattern to test against")
+            sub, sub_vars, _, sub_guards = _bgp_join_tree(
+                t, group, gcols)
+            if sub_guards:
+                raise ValueError(
+                    f"fully-ground pattern inside a {kw} group —"
+                    f" move it to the required patterns as a guard")
+            if sub_vars & opt_new and not sub_vars & (bound_vars
+                                                      - opt_new):
+                raise ValueError(
+                    f"{kw} group {group} anchors only on"
+                    f" OPTIONAL-introduced (nullable) variables —"
+                    f" NULL join keys diverge from SPARQL's unbound"
+                    f" compatibility; use bgp_minus(compat="
+                    f"'partial') for NULL-aware subtraction")
+            shared = sorted(sub_vars & (bound_vars - opt_new))
+            if not shared:
+                raise ValueError(
+                    f"{kw} group {group} shares no variable with the"
+                    f" required patterns — an unanchored existence"
+                    f" test is an ASK; run it as its own bgp() or a"
+                    f" ground-pattern guard")
+            plan = plan.join(sub, gcols + shared, how)
+
+    for f in (filters or []):
+        plan = plan.where(F.expr(f))
+
+    for v, expr in (bind or {}).items():
+        v = v.lstrip("?")
+        if v == "g":
+            raise ValueError(
+                "variable name 'g' is reserved for carry_graph")
+        if v in bound_vars:
+            raise ValueError(
+                f"BIND target ?{v} is already in scope — SPARQL"
+                f" forbids rebinding; pick a fresh variable")
+        plan = plan.withColumn(v, F.expr(expr))
+        bound_vars.add(v)
+        order.append(v)
 
     if not bound_vars and not carry_graph and select is None:
         # all-ground ASK-style bgp: one row when every guard holds
@@ -812,6 +977,120 @@ def bgp_union(
         raise ValueError(f"select names variables bound in no"
                          f" branch: {bad}")
     return out.select(*gcols, *cols).distinct()
+
+
+def bgp_agg(
+    triples: DataFrame, patterns: list,
+    group_by: list, aggs: dict,
+    having: str | None = None,
+    optional: list | None = None,
+    filters: list | None = None,
+    exists: list | None = None,
+    not_exists: list | None = None,
+    graph: str | None = None, carry_graph: bool = False,
+) -> DataFrame:
+    """SPARQL aggregation: ``SELECT ?k (AGG(?v) AS ?out) WHERE
+    { … } GROUP BY ?k [HAVING …]`` over the generic composer — the
+    analytics form every KG workload ends in (mention counts per
+    entity, degree summaries, per-class rollups).
+
+    ``group_by`` lists the grouping variables (``["?k"]``; empty =
+    one global group, SPARQL's implicit-group aggregate — one row
+    even over zero solutions, COUNT()=0, exactly Spark's global
+    aggregate).  ``aggs`` maps output column → spec tuple:
+
+    - ``("count",)`` — COUNT(*)
+    - ``("count", "?v")`` — COUNT(?v), non-NULL (bound) only
+    - ``("count_distinct", "?v")`` — COUNT(DISTINCT ?v)
+    - ``("sum"|"avg"|"min_num"|"max_num", "?v")`` — numeric
+      aggregates; the RDF term column is cast to double first, and
+      non-numeric lexical forms become NULL and are skipped (the
+      spec makes them aggregate errors; skipping is this engine's
+      documented lax treatment, matching the oracle's TRY_CAST)
+    - ``("min"|"max", "?v")`` — term-ordering min/max (plain string
+      comparison, the SPARQL codepoint order for IRIs/simple
+      literals)
+    - ``("group_concat", "?v"[, sep])`` — values sorted then joined
+      (the spec leaves order undefined; sorting makes the result
+      DETERMINISTIC and oracle-comparable)
+    - ``("sample", "?v")`` — any value; implemented as MIN for
+      determinism (the spec allows any)
+
+    ``having`` is a SQL boolean expression over the OUTPUT columns
+    (SPARQL HAVING).  All WHERE-side clauses (``optional``,
+    ``filters``, ``exists``, ``not_exists``, GRAPH scoping) pass
+    through to :func:`bgp`; with ``carry_graph`` the grouping is per
+    named graph (``g`` joins the keys).
+
+    Semantics note: the composer's solution set is DISTINCT
+    bindings, which for a plain BGP is exactly the spec's solution
+    multiset (each mapping matches once); aggregates here therefore
+    run over distinct solutions.
+
+    Scale shape: aggregation adds ONE hash exchange on the grouping
+    keys, with map-side partial aggregation for every spec above
+    except ``count_distinct`` (Spark plans a two-phase distinct
+    expand); ``group_concat`` materializes per-group value lists —
+    group sizes are the caller's cardinality contract, same as any
+    ``collect_list``."""
+    sol = bgp(triples, patterns, optional=optional, filters=filters,
+              exists=exists, not_exists=not_exists,
+              graph=graph, carry_graph=carry_graph)
+    keys = (["g"] if carry_graph else []) \
+        + [v.lstrip("?") for v in group_by]
+    bad = [k for k in keys if k not in sol.columns]
+    if bad:
+        raise ValueError(f"group_by names unbound variables: {bad}")
+    exprs = []
+    for out, spec in aggs.items():
+        if not isinstance(spec, tuple) or not spec:
+            raise ValueError(f"agg spec for {out!r} must be a"
+                             f" non-empty tuple, got {spec!r}")
+        fn = spec[0]
+        var = spec[1].lstrip("?") if len(spec) > 1 else None
+        if var is None and fn != "count":
+            raise ValueError(f"aggregate {fn!r} for {out!r} needs a"
+                             f" variable: ({fn!r}, '?v')")
+        if var is not None and var not in sol.columns:
+            raise ValueError(f"agg {out!r} names unbound variable"
+                             f" ?{var}")
+        col = F.col(var) if var is not None else None
+        # try_cast, not cast: ANSI mode makes a plain cast THROW on
+        # the first non-numeric lexical form; the documented lax
+        # treatment (skip) needs NULL
+        num = (F.col(var).try_cast("double")
+               if var is not None else None)
+        if fn == "count":
+            e = F.count(col) if var is not None else F.count(
+                F.lit(1))
+        elif fn == "count_distinct":
+            e = F.count_distinct(col)
+        elif fn == "sum":
+            e = F.sum(num)
+        elif fn == "avg":
+            e = F.avg(num)
+        elif fn == "min_num":
+            e = F.min(num)
+        elif fn == "max_num":
+            e = F.max(num)
+        elif fn == "min":
+            e = F.min(col)
+        elif fn == "max":
+            e = F.max(col)
+        elif fn == "group_concat":
+            sep = spec[2] if len(spec) > 2 else " "
+            e = F.array_join(F.array_sort(F.collect_list(col)), sep)
+        elif fn == "sample":
+            e = F.min(col)
+        else:
+            raise ValueError(f"unknown aggregate {fn!r} for {out!r}")
+        exprs.append(e.alias(out))
+    if not exprs:
+        raise ValueError("aggs must be non-empty")
+    out_df = sol.groupBy(*keys).agg(*exprs)
+    if having:
+        out_df = out_df.where(F.expr(having))
+    return out_df
 
 
 def characteristic_sets(triples: DataFrame) -> DataFrame:

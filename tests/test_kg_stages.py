@@ -1798,3 +1798,273 @@ def test_bgp_union_validation_and_graph(spark):
           bgp_union(q, [[("?x", "p", "?y")], [("?x", "q", "?y")]],
                     graph="g2").collect()}
     assert cg == {("a", "c")}
+
+
+def test_bgp_filters_and_null_semantics(spark):
+    """FILTER expressions apply to the solution set, with Spark's
+    NULL comparisons matching SPARQL's error-elimination on unbound
+    (OPTIONAL-introduced) variables; BOUND is IS [NOT] NULL."""
+    from serd_spark.operators.kg import bgp
+
+    t = _triples_df(spark, [("a", "p", "b"), ("c", "p", "d"),
+                            ("b", "name", "Ben")])
+    rows = {(r.x, r.y) for r in
+            bgp(t, [("?x", "p", "?y")],
+                filters=["y <> 'd'"]).collect()}
+    assert rows == {("a", "b")}
+    # comparison on an unbound variable eliminates the row…
+    got = {(r.x, r.n) for r in
+           bgp(t, [("?x", "p", "?y")],
+               optional=[[("?y", "name", "?n")]],
+               filters=["n <> 'zzz'"]).collect()}
+    assert got == {("a", "Ben")}
+    # …while BOUND-style IS NULL keeps exactly the unmatched ones
+    unb = {(r.x, r.y) for r in
+           bgp(t, [("?x", "p", "?y")],
+               optional=[[("?y", "name", "?n")]],
+               filters=["n IS NULL"]).collect()}
+    assert unb == {("c", "d")}
+    # conjuncts compose; filter on a required var prunes both
+    both = bgp(t, [("?x", "p", "?y")],
+               filters=["x <> 'a'", "y <> 'd'"])
+    assert both.count() == 0
+
+
+def test_bgp_exists_not_exists_matches_bruteforce_random(spark):
+    """FILTER EXISTS / NOT EXISTS groups on the composer equal naive
+    evaluation (keep a solution iff SOME / NO extension of it
+    matches the group) over random graphs, including multi-pattern
+    groups and groups with their own new variables."""
+    import random
+
+    from serd_spark.operators.kg import bgp
+
+    cases = [
+        ([("?a", "p1", "?b")], [("?b", "p2", "?c")]),
+        ([("?a", "p1", "?b"), ("?b", "p2", "?c")],
+         [("?c", "p1", "?d"), ("?d", "p2", "?e")]),
+        ([("?a", "p2", "?b")], [("?b", "p1", "n1")]),
+    ]
+    for seed in (7, 99, 1234):
+        rng = random.Random(seed)
+        tri = sorted({(f"n{rng.randint(0, 5)}",
+                       rng.choice(["p1", "p2", "p3"]),
+                       f"n{rng.randint(0, 5)}") for _ in range(25)})
+        t = _triples_df(spark, tri)
+        for req, grp in cases:
+            req_vars = sorted({x[1:] for pat in req for x in pat
+                               if x.startswith("?")})
+            base = {tuple(b[v] for v in req_vars)
+                    for b in _brute_bgp(tri, req)}
+            holds = {sol for sol in base
+                     if _brute_bgp_seeded(
+                         tri, grp, dict(zip(req_vars, sol)))}
+            got_e = {tuple(r[v] for v in req_vars) for r in
+                     bgp(t, req, select=req_vars,
+                         exists=[grp]).collect()}
+            got_n = {tuple(r[v] for v in req_vars) for r in
+                     bgp(t, req, select=req_vars,
+                         not_exists=[grp]).collect()}
+            assert got_e == holds, f"seed {seed} grp {grp}"
+            assert got_n == base - holds, f"seed {seed} grp {grp}"
+
+
+def test_bgp_exists_validation(spark):
+    """EXISTS/NOT-EXISTS groups must anchor on required-bound
+    variables: unanchored, optional-only-anchored, ground-guard, and
+    empty groups are rejected."""
+    from serd_spark.operators.kg import bgp
+
+    t = _triples_df(spark, [("a", "p", "b"), ("b", "q", "c")])
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp(t, [("?x", "p", "?y")], exists=[[("?v", "q", "?w")]])
+    with pytest.raises(ValueError, match="OPTIONAL-introduced"):
+        bgp(t, [("?x", "p", "?y")],
+            optional=[[("?y", "q", "?z")]],
+            not_exists=[[("?z", "q", "?w")]])
+    with pytest.raises(ValueError, match="guard"):
+        bgp(t, [("?x", "p", "?y")], exists=[[("b", "q", "c")]])
+    with pytest.raises(ValueError, match="non-empty"):
+        bgp(t, [("?x", "p", "?y")], not_exists=[[]])
+    # subsumes bgp_not_exists: per-graph absence with carry_graph
+    q = _quads_df(spark, [("g1", "a", "p", "b"),
+                          ("g1", "a", "del", "1"),
+                          ("g2", "a", "p", "b")])
+    keep = {(r.g, r.x) for r in
+            bgp(q, [("?x", "p", "?y")], select=["x"],
+                not_exists=[[("?x", "del", "?d")]],
+                carry_graph=True).collect()}
+    assert keep == {("g2", "a")}
+
+
+def test_bgp_exists_exchange_free_over_buckets(spark):
+    """A subject-anchored EXISTS group keeps the composer's plan
+    property: the semi join on the bucketed subject key adds no
+    Exchange."""
+    from serd_spark.operators.kg import bgp
+    from serd_spark.operators.materialize import write_bucketed_triples
+
+    rows = [(f"s{i}", p, f"{p}_v{i % 5}")
+            for i in range(200) for p in ("p1", "p2")] + \
+           [(f"s{i}", "p3", f"x{i}") for i in range(0, 200, 2)]
+    t = _triples_df(spark, rows)
+    write_bucketed_triples(t, "t_bgp_ex_plan", n_buckets=4)
+    bt = spark.table("t_bgp_ex_plan")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bgp(bt, [("?s", "p1", "?a"), ("?s", "p2", "?b")],
+                 exists=[[("?s", "p3", "?c")]])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange") == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bgp_path_arm_matches_composed_verbs(spark):
+    """A property-path arm inside the composer equals the standalone
+    path verb joined by hand — fixed sequences, quantified forms,
+    closures, constant endpoints, and the per-graph carry."""
+    from serd_spark.operators.kg import (bgp, bgp_path,
+                                         bgp_path_quant)
+
+    tri = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+           ("d", "q", "e"), ("a", "q", "c"),
+           ("b", "name", "Ben"), ("d", "name", "Dee")]
+    t = _triples_df(spark, tri)
+
+    # closure arm ⋈ plain arm == bgp_path_quant ⋈ name triples
+    got = {(r.x, r.z, r.n) for r in
+           bgp(t, [("?x", {"path": "p", "min": 1, "max": None},
+                    "?z"), ("?z", "name", "?n")]).collect()}
+    pairs = {(r.a, r.z) for r in
+             bgp_path_quant(t, "p", 1, None).collect()}
+    names = {(s, o) for (s, p, o) in tri if p == "name"}
+    want = {(x, z, n) for (x, z) in pairs for (z2, n) in names
+            if z2 == z}
+    assert got == want and got
+
+    # fixed sequence with alternation hop, constant subject
+    got2 = {tuple(r) for r in
+            bgp(t, [("a", {"path": [["p", "q"], "p"]},
+                     "?z")]).collect()}
+    want2 = {(r.z,) for r in
+             bgp_path(t, [["p", "q"], "p"]).where(
+                 F.col("a") == "a").collect()}
+    assert got2 == want2 and got2
+
+    # p{0,2} zero-length row binds the shared variable reflexively
+    got3 = {(r.x, r.z) for r in
+            bgp(t, [("?x", {"path": "p", "max": 2}, "?z"),
+                    ("?x", "name", "?n")]).collect()}
+    q02 = {(r.a, r.z) for r in
+           bgp_path_quant(t, "p", 0, 2).collect()}
+    withname = {s for (s, p, o) in tri if p == "name"}
+    assert got3 == {(a, z) for (a, z) in q02 if a in withname}
+
+    # per-graph closure arm: paths never hop across graphs
+    quads = _quads_df(spark, [("g1", "a", "p", "b"),
+                              ("g1", "b", "p", "c"),
+                              ("g2", "b", "p", "z9"),
+                              ("g2", "a", "name", "A")])
+    got4 = {(r.g, r.x, r.z) for r in
+            bgp(quads, [("?x", {"path": "p", "min": 1,
+                                "max": None}, "?z")],
+                carry_graph=True).collect()}
+    assert got4 == {("g1", "a", "b"), ("g1", "a", "c"),
+                    ("g1", "b", "c"), ("g2", "b", "z9")}
+
+
+def test_bgp_path_arm_validation(spark):
+    """Path-arm specs reject unknown keys, a missing 'path' entry,
+    and reserved/bare variable names."""
+    from serd_spark.operators.kg import bgp
+
+    t = _triples_df(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError, match="unknown path-spec"):
+        bgp(t, [("?x", {"path": "p", "mni": 1}, "?y")])
+    with pytest.raises(ValueError, match="'path' entry"):
+        bgp(t, [("?x", {"min": 1}, "?y")])
+    with pytest.raises(ValueError, match="reserved"):
+        bgp(t, [("?g", {"path": "p"}, "?y")])
+    # same variable at both ends = cycle membership
+    tri = [("a", "p", "b"), ("b", "p", "a"), ("c", "p", "d")]
+    t2 = _triples_df(spark, tri)
+    cyc = {r.x for r in
+           bgp(t2, [("?x", {"path": "p", "min": 1, "max": None},
+                     "?x")]).collect()}
+    assert cyc == {"a", "b"}
+
+
+def test_bgp_agg_matches_bruteforce(spark):
+    """SPARQL aggregation over the composer: every aggregate spec
+    against a hand-computed expectation, grouped, global, per-graph,
+    and HAVING-pruned."""
+    from serd_spark.operators.kg import bgp_agg
+
+    tri = [("a", "p", "1"), ("a", "p", "2"), ("a", "p", "2"),
+           ("b", "p", "5"), ("b", "p", "zz"), ("c", "q", "9")]
+    t = _triples_df(spark, tri)
+    out = {r.s: (r.n, r.dn, r.tot, r.mx, r.cat) for r in
+           bgp_agg(t, [("?s", "p", "?o")], ["?s"],
+                   {"n": ("count",),
+                    "dn": ("count_distinct", "?o"),
+                    "tot": ("sum", "?o"),
+                    "mx": ("max", "?o"),
+                    "cat": ("group_concat", "?o", "|")}).collect()}
+    # solutions are DISTINCT bindings: (a,p,2) counts once
+    assert out == {"a": (2, 2, 3.0, "2", "1|2"),
+                   "b": (2, 2, 5.0, "zz", "5|zz")}
+    # global group over zero solutions: one row, COUNT 0
+    z = bgp_agg(t, [("?s", "nope", "?o")], [],
+                {"n": ("count",)}).collect()
+    assert [tuple(r) for r in z] == [(0,)]
+    # HAVING prunes on output columns
+    h = bgp_agg(t, [("?s", "p", "?o")], ["?s"],
+                {"tot": ("sum", "?o")}, having="tot > 4").collect()
+    assert [(r.s, r.tot) for r in h] == [("b", 5.0)]
+    # per-graph grouping with carry_graph
+    q = _quads_df(spark, [("g1", "a", "p", "x"),
+                          ("g1", "a", "p", "y"),
+                          ("g2", "a", "p", "x")])
+    pg = {(r.g, r.s): r.n for r in
+          bgp_agg(q, [("?s", "p", "?o")], ["?s"],
+                  {"n": ("count",)}, carry_graph=True).collect()}
+    assert pg == {("g1", "a"): 2, ("g2", "a"): 1}
+    # validation
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_agg(t, [("?s", "p", "?o")], ["?zz"], {"n": ("count",)})
+    with pytest.raises(ValueError, match="needs a"):
+        bgp_agg(t, [("?s", "p", "?o")], [], {"x": ("sum",)})
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        bgp_agg(t, [("?s", "p", "?o")], [], {"x": ("median", "?o")})
+
+
+def test_bgp_bind(spark):
+    """BIND computes new variables after OPTIONAL/filters, aligns
+    with SPARQL: expression errors/unbound inputs yield NULL
+    (unbound), rebinding an in-scope variable is rejected, and bound
+    variables are selectable."""
+    from serd_spark.operators.kg import bgp
+
+    t = _triples_df(spark, [("a", "p", "b"), ("c", "p", "d"),
+                            ("b", "name", "Ben")])
+    rows = {(r.x, r.key) for r in
+            bgp(t, [("?x", "p", "?y")],
+                bind={"key": "concat(x, '->', y)"},
+                select=["x", "key"]).collect()}
+    assert rows == {("a", "a->b"), ("c", "c->d")}
+    # BIND over an unbound OPTIONAL var: NULL in, NULL out (SPARQL's
+    # error → unbound)
+    nb = {(r.x, r.tag) for r in
+          bgp(t, [("?x", "p", "?y")],
+              optional=[[("?y", "name", "?n")]],
+              bind={"tag": "upper(n)"},
+              select=["x", "tag"]).collect()}
+    assert nb == {("a", "BEN"), ("c", None)}
+    with pytest.raises(ValueError, match="already in scope"):
+        bgp(t, [("?x", "p", "?y")], bind={"y": "x"})
+    with pytest.raises(ValueError, match="reserved"):
+        bgp(t, [("?x", "p", "?y")], bind={"g": "x"})
