@@ -2068,3 +2068,84 @@ def test_bgp_bind(spark):
         bgp(t, [("?x", "p", "?y")], bind={"y": "x"})
     with pytest.raises(ValueError, match="reserved"):
         bgp(t, [("?x", "p", "?y")], bind={"g": "x"})
+
+
+def test_bgp_union_branches_accept_path_arms(spark):
+    """UNION branches are full composer groups: a closure path arm
+    in one branch unions name-aligned with a plain branch."""
+    from serd_spark.operators.kg import bgp_union
+
+    t = _triples_df(spark, [("a", "p", "b"), ("b", "p", "c"),
+                            ("a", "r", "d")])
+    rows = {(r.x, r.y) for r in
+            bgp_union(t, [
+                [("?x", {"path": "p", "min": 1, "max": None}, "?y")],
+                [("?x", "r", "?y")],
+            ]).collect()}
+    assert rows == {("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")}
+
+
+def test_bgp_agg_over_path_arm(spark):
+    """Aggregating over a closure arm: descendants counted per root
+    — the rollup shape (COUNT over p+) a KG analytics user writes
+    first."""
+    from serd_spark.operators.kg import bgp_agg
+
+    t = _triples_df(spark, [("r", "p", "a"), ("r", "p", "b"),
+                            ("a", "p", "c"), ("x", "p", "y")])
+    out = {r.s: r.n for r in
+           bgp_agg(t, [("?s", {"path": "p", "min": 1, "max": None},
+                        "?d")], ["?s"], {"n": ("count",)}).collect()}
+    assert out == {"r": 3, "a": 1, "x": 1}
+
+
+def test_bgp_full_where_combination_matches_bruteforce(spark):
+    """required + OPTIONAL + FILTER + NOT EXISTS together on random
+    graphs equal the naive evaluation composed in the same order —
+    the full WHERE-clause shape."""
+    import random
+
+    from serd_spark.operators.kg import bgp
+
+    for seed in (11, 202):
+        rng = random.Random(seed)
+        tri = sorted({(f"n{rng.randint(0, 5)}",
+                       rng.choice(["p1", "p2", "p3"]),
+                       f"n{rng.randint(0, 5)}") for _ in range(25)})
+        t = _triples_df(spark, tri)
+        req = [("?a", "p1", "?b")]
+        base = {(b["a"], b["b"]) for b in _brute_bgp(tri, req)}
+        # OPTIONAL {?b p2 ?c}: extend or NULL
+        opt = {}
+        for (a, b) in base:
+            ext = [bb["c"] for bb in _brute_bgp_seeded(
+                tri, [("?b", "p2", "?c")], {"a": a, "b": b})]
+            opt[(a, b)] = ext or [None]
+        sols = {(a, b, c) for (a, b), cs in opt.items() for c in cs}
+        # NOT EXISTS {?a p3 ?z}
+        sols = {(a, b, c) for (a, b, c) in sols
+                if not _brute_bgp_seeded(
+                    tri, [("?a", "p3", "?z")], {"a": a})}
+        # FILTER c IS NOT NULL AND a != b
+        want = {(a, b, c) for (a, b, c) in sols
+                if c is not None and a != b}
+        got = {(r.a, r.b, r.c) for r in
+               bgp(t, req, optional=[[("?b", "p2", "?c")]],
+                   not_exists=[[("?a", "p3", "?z")]],
+                   filters=["c IS NOT NULL", "a <> b"]).collect()}
+        assert got == want, f"seed {seed}"
+
+
+def test_bgp_agg_plans_partial_aggregation(spark):
+    """The aggregate plan keeps Spark's two-phase (map-side partial)
+    hash aggregation — one exchange on the grouping key, partial
+    aggregates before it."""
+    from serd_spark.operators.kg import bgp_agg
+
+    t = _triples_df(spark, [(f"s{i % 7}", "p", f"o{i}")
+                            for i in range(50)])
+    df = bgp_agg(t, [("?s", "p", "?o")], ["?s"],
+                 {"n": ("count",), "mx": ("max", "?o")})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
