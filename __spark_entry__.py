@@ -3323,8 +3323,15 @@ def _bucketed_table_cached(spark: SparkSession, sf_dir: str,
     as ``_cached_triples``: ``tests/test_entry_oracles.py::
     test_bucketed_cache_equals_inline`` asserts the cached table
     row-identical to a fresh inline derivation."""
+    import hashlib
+
     from serd_spark.operators.materialize import write_bucketed_triples
 
+    # the catalog name carries the cache key's data-defining parts:
+    # a bare `table` name would be GLOBAL, so a second sf_dir in the
+    # same session would silently read the first sf_dir's rows
+    sig = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"{table}_{sig}_{n_buckets}"
     key = (spark.sparkContext.applicationId, sf_dir, table, n_buckets)
     for k in [k for k in _BUCKETED_TABLES if k[0] != key[0]]:
         _BUCKETED_TABLES.discard(k)
@@ -4512,17 +4519,14 @@ def _o_kg_bgp(_: str) -> str:
     """
 
 
-def _q_kg_graph_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``GRAPH ?g { ?a child+ ?z }`` under the exact gate: the
-    orderkey-octree edges published as NQ quads, each edge into the
-    graph named after its CHILD's key mod 3 — so multi-hop paths
-    usually cross graphs and the per-graph closure is a strict
-    subset of the global one (a closure that leaks across graphs
-    produces extra rows and hash-fails).  Parses the quad corpus
-    through the real NQ line parser, then runs the carry_graph
-    transitive closure; the oracle is a graph-keyed recursive CTE
-    over the same edges (acyclic tree, exact)."""
-    from serd_spark.operators.kg import bgp_path_quant
+def _octree_quads_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orderkey-octree edge corpus as NQ quads, parsed through
+    the real NQ line parser and cached per session — each edge
+    ``<urn:n:k//8> :child <urn:n:k>`` published into the graph named
+    after its CHILD's key mod 3, so multi-hop paths usually cross
+    graphs.  The ONE builder shared by ``kg_graph_path`` and
+    ``kg_path_bgp`` (both cache under the same key, so a single
+    definition keeps their gates order-independent)."""
     from serd_spark.operators.parse import (
         parse_documents,
         split_quarantine,
@@ -4549,7 +4553,22 @@ def _q_kg_graph_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         t, _ = split_quarantine(parse_documents(tdf, syntax="nquads"))
         return t
 
-    quads = _cached_triples(spark, sf_dir, "octree_quads", build)
+    return _cached_triples(spark, sf_dir, "octree_quads", build)
+
+
+def _q_kg_graph_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GRAPH ?g { ?a child+ ?z }`` under the exact gate: the
+    orderkey-octree edges published as NQ quads, each edge into the
+    graph named after its CHILD's key mod 3 — so multi-hop paths
+    usually cross graphs and the per-graph closure is a strict
+    subset of the global one (a closure that leaks across graphs
+    produces extra rows and hash-fails).  Parses the quad corpus
+    through the real NQ line parser, then runs the carry_graph
+    transitive closure; the oracle is a graph-keyed recursive CTE
+    over the same edges (acyclic tree, exact)."""
+    from serd_spark.operators.kg import bgp_path_quant
+
+    quads = _octree_quads_cached(spark, sf_dir)
     return bgp_path_quant(quads, "urn:schema:child", 1, None,
                           out_cols=("a", "z"), carry_graph=True)
 
@@ -4721,33 +4740,8 @@ def _q_kg_path_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     length-1 or length-4 paths) changes the row set and
     hash-fails."""
     from serd_spark.operators.kg import bgp
-    from serd_spark.operators.parse import (
-        parse_documents,
-        split_quarantine,
-    )
 
-    orders = _t(spark, sf_dir, "orders")
-    line = F.concat(
-        F.lit("<urn:n:"),
-        F.floor(F.col("o_orderkey") / 8).cast("long"),
-        F.lit("> <urn:schema:child> <urn:n:"), "o_orderkey",
-        F.lit("> <urn:graph:"), F.col("o_orderkey") % 3,
-        F.lit("> ."))
-    tdf = orders.where(
-        (F.col("o_orderkey") >= 1) & (F.col("o_orderstatus") != "P")
-    ).select(
-        F.concat(F.lit("q"), F.col("o_custkey").cast("string"))
-        .alias("conv_id"),
-        F.col("o_orderkey").cast("int").alias("turn_idx"),
-        F.lit("tool").alias("role"), line.alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.lit(None).cast("timestamp").alias("ts"))
-
-    def build():
-        t, _ = split_quarantine(parse_documents(tdf, syntax="nquads"))
-        return t
-
-    quads = _cached_triples(spark, sf_dir, "octree_quads", build)
+    quads = _octree_quads_cached(spark, sf_dir)
     return bgp(quads,
                [("?a", {"path": "urn:schema:child",
                         "min": 2, "max": 3}, "?z"),

@@ -564,6 +564,84 @@ def _bgp_arm(t: DataFrame, pat, gcols: list):
     return df, names
 
 
+def _seeded_path_quant(
+    t: DataFrame, spec, seed: str, n_min: int, n_max: int | None,
+    reverse: bool, max_iters: int, carry_graph: bool,
+) -> DataFrame:
+    """Quantified/closure path with ONE CONSTANT endpoint — the
+    seeded form of :func:`bgp_path_quant`: a NODE frontier walked
+    from the constant (``reverse`` walks object→subject for a
+    constant object) instead of the all-pairs PAIR closure, so
+    instance-scale reachability (``<seed> knows+ ?z``) stays
+    frontier-bounded — the all-pairs blowup the pair closure's
+    docstring warns about never materializes.  Same existence
+    semantics: nodes with SOME path of length k, n_min ≤ k ≤ n_max,
+    from/to the seed; the zero-length row binds the seed to itself
+    iff the seed is a node term (per graph with ``carry_graph``).
+    Output columns: ``[g,] _pa, _pz`` with the seed on the constant
+    side, matching :func:`_bgp_path_arm`'s arm shape."""
+    gcols = ["g"] if carry_graph else []
+    step = _path_hop(t, spec, "_a", "_z", gcols).distinct() \
+        .localCheckpoint()
+    away, back = ("_z", "_a") if reverse else ("_a", "_z")
+    fwd = step.select(*gcols, F.col(away).alias("_r"),
+                      F.col(back).alias("_t"))
+    parts: list[DataFrame] = []
+    if n_min == 0:
+        nodes = t.select(*gcols, F.col("s").alias("_r")).unionByName(
+            t.select(*gcols, F.col("o").alias("_r"))).distinct()
+        parts.append(nodes.where(F.col("_r") == F.lit(seed)))
+    frontier = (fwd.where(F.col("_r") == F.lit(seed))
+                .select(*gcols, F.col("_t").alias("_r"))
+                .distinct().localCheckpoint())
+    hop_join = fwd  # keyed on _r, emits _t
+
+    def _next(cur):
+        return (cur.join(hop_join, gcols + ["_r"])
+                .select(*gcols, F.col("_t").alias("_r")).distinct())
+
+    if n_max == 0:
+        pass
+    elif n_max is not None:
+        if n_min <= 1:
+            parts.append(frontier)
+        for k in range(2, n_max + 1):
+            frontier = _next(frontier).localCheckpoint()
+            if frontier.isEmpty():
+                break
+            if k >= n_min:
+                parts.append(frontier)
+    else:
+        # unbounded closures arrive with n_min <= 1 (bgp_path_quant's
+        # contract), so the reached set IS the answer for k >= 1
+        visited = frontier
+        cur = frontier
+        for _ in range(max_iters):
+            nxt = (_next(cur)
+                   .join(visited, gcols + ["_r"], "left_anti")
+                   .localCheckpoint())
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint()
+            cur = nxt
+        else:
+            if not (_next(cur).join(visited, gcols + ["_r"],
+                                    "left_anti")).isEmpty():
+                raise RuntimeError(
+                    f"seeded path closure still expanding after"
+                    f" max_iters={max_iters} rounds — raise"
+                    f" max_iters")
+        parts.append(visited)
+    if not parts:
+        parts.append(frontier.limit(0))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    pa, pz = ("_pz", "_pa") if reverse else ("_pa", "_pz")
+    return df.select(*gcols, F.lit(seed).alias(pa),
+                     F.col("_r").alias(pz)).distinct()
+
+
 def _bgp_path_arm(t: DataFrame, pat, gcols: list,
                   carry_graph: bool):
     """One PROPERTY-PATH pattern as a binding arm of the composer —
@@ -575,34 +653,80 @@ def _bgp_path_arm(t: DataFrame, pat, gcols: list,
       alternation, ``"!p1|^p2"`` negated set)
     - ``{"path": hop, "min": n, "max": m}`` — quantified repetition
       (``p{n,m}``; ``"max": None`` for the ``p*``/``p+`` closures;
-      optional ``"max_iters"`` forwards the closure backstop)
+      optional ``"max_iters"`` forwards the closure backstop).
+      The quantified hop must be a STRING (``"p"``, ``"^p"``,
+      ``"!…"``): a quantified LIST is ambiguous (the sequence
+      reading ``(p/q){n,m}`` vs the alternation ``(p|q){n,m}``) and
+      is rejected — spell alternation with ``"alt"``, and compose
+      a quantified SEQUENCE from :func:`bgp_path` + this operator
+    - ``{"alt": [p1, p2, …], "min": n, "max": m}`` — quantified
+      alternation ``(p1|p2){n,m}`` (without min/max: the single
+      alternation hop, same as ``{"path": [[p1, p2]]}``)
 
     Endpoint terms follow the normal pattern grammar: variables
-    bind, constants filter (pushed into the path's endpoint
-    columns), and the same variable at both ends (``?a p+ ?a`` —
-    cycle membership) becomes an equality filter.  Returns the same
-    ``(df, names)`` shape as :func:`_bgp_arm`."""
+    bind, constants filter — pushed into the scan for fixed
+    sequences, and for QUANTIFIED forms a constant endpoint
+    switches to the SEEDED frontier walk
+    (:func:`_seeded_path_quant`) so ``<seed> knows+ ?z`` never
+    materializes the all-pairs closure — and the same variable at
+    both ends (``?a p+ ?a`` — cycle membership) becomes an equality
+    filter.  Returns the same ``(df, names)`` shape as
+    :func:`_bgp_arm`."""
     s, spec, o = pat
     q = dict(spec)
     hops = q.pop("path", None)
+    alt = q.pop("alt", None)
     n_min, n_max = q.pop("min", None), q.pop("max", "_absent")
     max_iters = q.pop("max_iters", 30)
     if q:
         raise ValueError(f"unknown path-spec keys {sorted(q)} in"
-                         f" pattern {pat!r} (expected 'path', 'min',"
-                         f" 'max', 'max_iters')")
-    if hops is None:
-        raise ValueError(f"path spec needs a 'path' entry: {pat!r}")
-    if n_min is None and n_max == "_absent":
-        seq = hops if isinstance(hops, list) else [hops]
+                         f" pattern {pat!r} (expected 'path' or"
+                         f" 'alt', 'min', 'max', 'max_iters')")
+    if (hops is None) == (alt is None):
+        raise ValueError(f"path spec needs exactly one of 'path' or"
+                         f" 'alt': {pat!r}")
+    if alt is not None and not isinstance(alt, list):
+        raise ValueError(f"'alt' must be a list of hop strings:"
+                         f" {pat!r}")
+    quant = n_min is not None or n_max != "_absent"
+    if not quant:
+        seq = ([alt] if alt is not None
+               else hops if isinstance(hops, list) else [hops])
         df = bgp_path(t, seq, out_cols=("_pa", "_pz"),
                       carry_graph=carry_graph)
     else:
-        df = bgp_path_quant(
-            t, hops, n_min if n_min is not None else 0,
-            None if n_max == "_absent" else n_max,
-            out_cols=("_pa", "_pz"), max_iters=max_iters,
-            carry_graph=carry_graph)
+        if alt is None and not isinstance(hops, str):
+            raise ValueError(
+                f"quantified 'path' must be a single hop string in"
+                f" {pat!r} — a list is ambiguous between the"
+                f" sequence (p/q){{n,m}} and the alternation"
+                f" (p|q){{n,m}}; use 'alt' for alternation, or"
+                f" compose a quantified sequence from a fixed"
+                f" {{'path': [...]}} arm joined to a quantified one")
+        hop = alt if alt is not None else hops
+        nmin = n_min if n_min is not None else 0
+        nmax = None if n_max == "_absent" else n_max
+        if nmax is not None and nmax < nmin:
+            raise ValueError(f"max={nmax} < min={nmin} in {pat!r}")
+        if nmax is None and nmin > 1:
+            raise ValueError(
+                f"min > 1 with unbounded max in {pat!r}: compose"
+                f" the fixed prefix with a {{'path': […]}} arm"
+                f" (p{{2,}} == p/p+)")
+        if not _is_bgp_var(s) or not _is_bgp_var(o):
+            # constant endpoint: walk a SEEDED node frontier from
+            # it instead of materializing the all-pairs closure and
+            # post-filtering (the filter cannot cross the closure's
+            # localCheckpoint barrier) — instance-scale seeded
+            # reachability stays frontier-bounded
+            seed, rev = ((s, False) if not _is_bgp_var(s)
+                         else (o, True))
+            df = _seeded_path_quant(t, hop, seed, nmin, nmax, rev,
+                                    max_iters, carry_graph)
+        else:
+            df = bgp_path_quant(
+                t, hop, nmin, nmax, out_cols=("_pa", "_pz"),
+                max_iters=max_iters, carry_graph=carry_graph)
     names: dict[str, str] = {}
     for pos, term in (("_pa", s), ("_pz", o)):
         if _is_bgp_var(term):
@@ -789,8 +913,10 @@ def bgp(
     EXISTS { … }``: one semi / anti hash join per group on the
     variables shared with the REQUIRED patterns (required-bound
     keys are never NULL, so the join IS the spec's compatibility
-    test; groups touching only OPTIONAL-introduced variables are
-    rejected — route NULL-aware subtraction through
+    test; groups touching OPTIONAL-introduced variables are
+    rejected — even alongside required anchors, since joining on
+    the required subset alone would silently drop the optional
+    correlation — route NULL-aware subtraction through
     :func:`bgp_minus` ``compat='partial'``).  Subsumes
     :func:`bgp_not_exists`.  Groups sharing no variable at all are
     rejected too (an existence test detached from the bindings is
@@ -882,14 +1008,23 @@ def bgp(
                 raise ValueError(
                     f"fully-ground pattern inside a {kw} group —"
                     f" move it to the required patterns as a guard")
-            if sub_vars & opt_new and not sub_vars & (bound_vars
-                                                      - opt_new):
+            touched = sorted(sub_vars & opt_new)
+            if touched:
+                # reject ANY optional-variable contact, not just
+                # exclusively-optional groups: joining on the
+                # required subset alone would silently DROP the
+                # correlation on the optional variable (EXISTS
+                # {?o q ?c} with ?c optional-bound must substitute
+                # the bound ?c, not accept any q-edge of ?o)
                 raise ValueError(
-                    f"{kw} group {group} anchors only on"
-                    f" OPTIONAL-introduced (nullable) variables —"
+                    f"{kw} group {group} references OPTIONAL-"
+                    f"introduced (nullable) variables {touched} —"
                     f" NULL join keys diverge from SPARQL's unbound"
-                    f" compatibility; use bgp_minus(compat="
-                    f"'partial') for NULL-aware subtraction")
+                    f" compatibility and a required-only join drops"
+                    f" the correlation; use bgp_minus(compat="
+                    f"'partial') for NULL-aware subtraction, or"
+                    f" rename the group's variable if no"
+                    f" correlation is intended")
             shared = sorted(sub_vars & (bound_vars - opt_new))
             if not shared:
                 raise ValueError(

@@ -649,13 +649,25 @@ def start_streaming_graph_delta(
             delta = spark.read.parquet(state_path).select(ks) \
                 .distinct().localCheckpoint()
             seen = seen.unionByName(delta).distinct()
-    state = {"seen": seen.localCheckpoint(), "delta": delta,
+    # delta_parts holds the cumulative EMITTED set as a LIST of
+    # per-batch localCheckpointed frames: appending is free, and the
+    # full-set union is materialized only at compaction — NOT once
+    # per batch (re-checkpointing the whole cumulative set every
+    # batch would make per-batch cost grow with total emitted rows)
+    state = {"seen": seen.localCheckpoint(),
+             "delta_parts": [delta] if delta is not None else [],
              "batches": 0}
 
     def _compact() -> None:
         fs, live, pcls = _hadoop_fs(spark, state_path)
         staging = pcls(state_path + ".compacting")
-        snap = state["delta"]  # localCheckpointed: survives the swap
+        snap = state["delta_parts"][0]
+        for p in state["delta_parts"][1:]:
+            snap = snap.unionByName(p)
+        # one materialization per compaction window; the blocks back
+        # the staged write and survive the swap
+        snap = snap.localCheckpoint()
+        state["delta_parts"] = [snap]
         # bound the snapshot's file fan-out by row count — the whole
         # point of compacting is that restart load (and the file
         # listing) scales with the CURRENT set, not with how many
@@ -680,9 +692,7 @@ def start_streaming_graph_delta(
             .localCheckpoint()
         if state_path:
             new.write.mode("append").parquet(state_path)
-            state["delta"] = (
-                new if state["delta"] is None
-                else state["delta"].unionByName(new).localCheckpoint())
+            state["delta_parts"].append(new)  # already checkpointed
             state["batches"] += 1
             if compact_every and state["batches"] % compact_every == 0:
                 _compact()

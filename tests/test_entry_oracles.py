@@ -297,12 +297,19 @@ def test_bucketed_cache_equals_inline(spark):
     derivation of the same triples, and a repeat call does NOT
     re-write (the key is already in ``_BUCKETED_TABLES``, so bench's
     second pass measures the exchange-free READ path only)."""
+    import hashlib
+
     cached = entrymod._bucketed_table_cached(
         spark, SF_DIR, "serd_triples_2hop", 8,
         lambda: entrymod._order_cust_nation_cached(spark, SF_DIR))
+    # the catalog name is per-(sf_dir, n_buckets): a second sf_dir in
+    # the same session must NOT read this table back
+    sig = hashlib.md5(SF_DIR.encode()).hexdigest()[:8]
     key = (spark.sparkContext.applicationId, SF_DIR,
-           "serd_triples_2hop", 8)
+           f"serd_triples_2hop_{sig}_8", 8)
     assert key in entrymod._BUCKETED_TABLES
+    other = hashlib.md5(b"/some/other/sf").hexdigest()[:8]
+    assert other != sig
 
     def boom():
         raise AssertionError("repeat call re-built the triples")

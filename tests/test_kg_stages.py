@@ -1985,7 +1985,7 @@ def test_bgp_path_arm_validation(spark):
     t = _triples_df(spark, [("a", "p", "b")])
     with pytest.raises(ValueError, match="unknown path-spec"):
         bgp(t, [("?x", {"path": "p", "mni": 1}, "?y")])
-    with pytest.raises(ValueError, match="'path' entry"):
+    with pytest.raises(ValueError, match="exactly one of 'path'"):
         bgp(t, [("?x", {"min": 1}, "?y")])
     with pytest.raises(ValueError, match="reserved"):
         bgp(t, [("?g", {"path": "p"}, "?y")])
@@ -2149,3 +2149,95 @@ def test_bgp_agg_plans_partial_aggregation(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2, plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_bgp_exists_rejects_mixed_optional_anchor(spark):
+    """An EXISTS/NOT-EXISTS group sharing BOTH a required-bound and
+    an OPTIONAL-introduced variable is rejected — joining on the
+    required subset alone would silently drop the optional
+    correlation (accept any q-edge of ?o instead of the bound ?c)."""
+    from serd_spark.operators.kg import bgp
+
+    t = _triples_df(spark, [("o1", "p", "x"), ("o1", "r", "c1"),
+                            ("o1", "q", "c2")])
+    with pytest.raises(ValueError, match="OPTIONAL-introduced"):
+        bgp(t, [("?o", "p", "?x")],
+            optional=[[("?o", "r", "?c")]],
+            exists=[[("?o", "q", "?c")]])
+    with pytest.raises(ValueError, match="OPTIONAL-introduced"):
+        bgp(t, [("?o", "p", "?x")],
+            optional=[[("?o", "r", "?c")]],
+            not_exists=[[("?o", "q", "?c")]])
+    # renaming the group's variable (no correlation intended) works
+    ok = {(r.o, r.c) for r in
+          bgp(t, [("?o", "p", "?x")],
+              optional=[[("?o", "r", "?c")]],
+              exists=[[("?o", "q", "?c2")]]).collect()}
+    assert ok == {("o1", "c1")}
+
+
+def test_seeded_closure_matches_full_closure_random(spark):
+    """A quantified path arm with a constant endpoint (the seeded
+    frontier walk) equals the all-pairs closure post-filtered, over
+    random CYCLIC graphs, both directions, all quantifier shapes,
+    and per graph with carry_graph."""
+    import random
+
+    from serd_spark.operators.kg import bgp, bgp_path_quant
+
+    windows = [(1, None), (0, None), (0, 2), (2, 3), (0, 0), (1, 1)]
+    for seed in (5, 77, 901):
+        rng = random.Random(seed)
+        tri = sorted({(f"n{rng.randint(0, 6)}", "p",
+                       f"n{rng.randint(0, 6)}") for _ in range(14)})
+        tri += [("n0", "q", "n1")]  # a non-path predicate
+        t = _triples_df(spark, tri)
+        const = f"n{rng.randint(0, 6)}"
+        for (lo, hi) in windows:
+            full = {(r.a, r.z) for r in
+                    bgp_path_quant(t, "p", lo, hi).collect()}
+            fwd = {(r.z,) for r in
+                   bgp(t, [(const, {"path": "p", "min": lo,
+                                    "max": hi}, "?z")]).collect()}
+            assert fwd == {(z,) for (a, z) in full if a == const}, \
+                (seed, lo, hi, const, "fwd")
+            rev = {(r.a,) for r in
+                   bgp(t, [("?a", {"path": "p", "min": lo,
+                                   "max": hi}, const)]).collect()}
+            assert rev == {(a,) for (a, z) in full if z == const}, \
+                (seed, lo, hi, const, "rev")
+
+    # per-graph seeded closure: the walk never crosses graphs
+    q = _quads_df(spark, [("g1", "a", "p", "b"), ("g1", "b", "p", "c"),
+                          ("g2", "a", "p", "x"), ("g2", "x", "p", "a")])
+    got = {(r.g, r.z) for r in
+           bgp(q, [("a", {"path": "p", "min": 1, "max": None},
+                    "?z")], carry_graph=True).collect()}
+    assert got == {("g1", "b"), ("g1", "c"),
+                   ("g2", "x"), ("g2", "a")}
+
+
+def test_path_arm_alt_grammar(spark):
+    """Quantified list-valued 'path' is rejected as ambiguous;
+    'alt' spells quantified alternation; bare 'alt' is the single
+    alternation hop."""
+    from serd_spark.operators.kg import bgp, bgp_path_quant
+
+    tri = [("a", "p", "b"), ("b", "q", "c"), ("c", "p", "d")]
+    t = _triples_df(spark, tri)
+    with pytest.raises(ValueError, match="ambiguous"):
+        bgp(t, [("?x", {"path": ["p", "q"], "min": 1, "max": 2},
+                 "?y")])
+    with pytest.raises(ValueError, match="exactly one"):
+        bgp(t, [("?x", {"path": "p", "alt": ["q"]}, "?y")])
+    with pytest.raises(ValueError, match="exactly one"):
+        bgp(t, [("?x", {"min": 1, "max": 2}, "?y")])
+    want = {(r.a, r.z) for r in
+            bgp_path_quant(t, ["p", "q"], 1, 2).collect()}
+    got = {(r.x, r.y) for r in
+           bgp(t, [("?x", {"alt": ["p", "q"], "min": 1, "max": 2},
+                    "?y")]).collect()}
+    assert got == want and got
+    one = {(r.x, r.y) for r in
+           bgp(t, [("?x", {"alt": ["p", "q"]}, "?y")]).collect()}
+    assert one == {(s, o) for (s, p, o) in tri}
