@@ -2241,3 +2241,39 @@ def test_path_arm_alt_grammar(spark):
     one = {(r.x, r.y) for r in
            bgp(t, [("?x", {"alt": ["p", "q"]}, "?y")]).collect()}
     assert one == {(s, o) for (s, p, o) in tri}
+
+
+def test_seeded_closure_alt_and_negated_specs(spark):
+    """The seeded frontier walk honors the full hop grammar —
+    alternation and negated property sets — matching the all-pairs
+    closure post-filtered."""
+    from serd_spark.operators.kg import bgp, bgp_path_quant
+
+    tri = [("a", "p", "b"), ("b", "q", "c"), ("c", "r", "d"),
+           ("d", "p", "a"), ("b", "p", "d")]
+    t = _triples_df(spark, tri)
+    for spec_kw in ({"alt": ["p", "q"]}, {"path": "!r"}):
+        for (lo, hi) in ((1, None), (0, 2)):
+            spec = dict(spec_kw, min=lo, max=hi)
+            hop = spec_kw.get("alt", spec_kw.get("path"))
+            full = {(r.a, r.z) for r in
+                    bgp_path_quant(t, hop, lo, hi).collect()}
+            got = {(r.z,) for r in
+                   bgp(t, [("a", spec, "?z")]).collect()}
+            assert got == {(z,) for (a, z) in full if a == "a"}, \
+                (spec_kw, lo, hi)
+
+
+def test_seeded_closure_both_endpoints_constant(spark):
+    """Both endpoints constant on a quantified arm is the ASK-style
+    guard: the whole result empties when no path connects them."""
+    from serd_spark.operators.kg import bgp
+
+    t = _triples_df(spark, [("a", "p", "b"), ("b", "p", "c"),
+                            ("a", "name", "A")])
+    hit = bgp(t, [("?x", "name", "?n"),
+                  ("a", {"path": "p", "min": 1, "max": None}, "c")])
+    assert {(r.x, r.n) for r in hit.collect()} == {("a", "A")}
+    miss = bgp(t, [("?x", "name", "?n"),
+                   ("c", {"path": "p", "min": 1, "max": None}, "a")])
+    assert miss.count() == 0
