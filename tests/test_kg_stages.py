@@ -2277,3 +2277,64 @@ def test_seeded_closure_both_endpoints_constant(spark):
     miss = bgp(t, [("?x", "name", "?n"),
                    ("c", {"path": "p", "min": 1, "max": None}, "a")])
     assert miss.count() == 0
+
+
+def test_bgp_filter_pushes_to_arm_scan(spark):
+    """A FILTER conjunct over one arm's variable reaches that arm's
+    parquet scan as a PushedFilter — the Catalyst-pushdown claim in
+    bgp()'s docstring, pinned on the executed plan."""
+    import os
+    import tempfile
+
+    from serd_spark.operators.kg import bgp
+
+    rows = [(f"s{i}", "p1" if i % 2 else "p2", f"v{i}")
+            for i in range(100)]
+    t = _triples_df(spark, rows)
+    path = os.path.join(tempfile.mkdtemp(), "tri")
+    t.write.parquet(path)
+    pt = spark.read.parquet(path)
+    df = bgp(pt, [("?s", "p1", "?a"), ("?s", "p2", "?b")],
+             filters=["a > 'v50'"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the constant-predicate filters push…
+    assert "PushedFilters:" in plan, plan
+    assert "EqualTo(p,p1)" in plan, plan
+    # …and so does the FILTER's conjunct on the p1 arm's object
+    assert "GreaterThan(o,v50)" in plan, plan
+
+
+def test_bgp_agg_matches_duckdb_random(spark):
+    """bgp_agg over random graphs equals DuckDB computing the same
+    GROUP BY over the same (distinct) solution set — every agg kind
+    in one query."""
+    import random
+
+    import duckdb
+
+    from serd_spark.operators.kg import bgp_agg
+
+    for seed in (19, 333):
+        rng = random.Random(seed)
+        tri = sorted({(f"n{rng.randint(0, 5)}", "p",
+                       str(rng.choice([1, 2, 7, "xx"])))
+                      for _ in range(20)})
+        t = _triples_df(spark, tri)
+        got = {(r.s, r.n, r.dn, r.tot, r.mx, r.cat) for r in
+               bgp_agg(t, [("?s", "p", "?o")], ["?s"],
+                       {"n": ("count",),
+                        "dn": ("count_distinct", "?o"),
+                        "tot": ("sum", "?o"),
+                        "mx": ("max", "?o"),
+                        "cat": ("group_concat", "?o", ",")}).collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE tri (s VARCHAR, p VARCHAR,"
+                    " o VARCHAR)")
+        con.executemany("INSERT INTO tri VALUES (?, ?, ?)", tri)
+        want = set(con.execute(
+            "SELECT s, COUNT(*), COUNT(DISTINCT o),"
+            " SUM(TRY_CAST(o AS DOUBLE)), MAX(o),"
+            " STRING_AGG(o, ',' ORDER BY o)"
+            " FROM (SELECT DISTINCT s, o FROM tri WHERE p = 'p')"
+            " GROUP BY s").fetchall())
+        assert got == want, seed
