@@ -4763,6 +4763,40 @@ def _o_kg_path_bgp(_: str) -> str:
     """
 
 
+def _q_kg_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPARQL TEXT front-end under the exact gate: the query a
+    reference-stack user would paste — the triangle conjunction with
+    a FILTER — parsed from a string (PREFIX expansion, triple
+    patterns, FILTER translation) and translated onto the composer,
+    over the same cached triangle corpus as ``kg_bgp``.  Gates the
+    whole text→plan path: a mis-parsed pattern, broken prefix
+    expansion, or mistranslated FILTER changes the row set and
+    hash-fails."""
+    from serd_spark.sparql import sparql
+
+    t = _cached_triples(spark, sf_dir, "triangle",
+                        lambda: _kg_triangle_triples(spark, sf_dir))
+    return sparql(t, """
+        PREFIX s: <urn:schema:>
+        SELECT ?o ?c ?n WHERE {
+          ?o s:cust ?c .
+          ?c s:nation ?n .
+          ?o s:ships_to ?n .
+          FILTER(?n != "urn:nation:5")
+        }""")
+
+
+def _o_kg_sparql(_: str) -> str:
+    return """
+    SELECT DISTINCT 'urn:order:' || o_orderkey AS o,
+           'urn:cust:' || o_custkey AS c,
+           'urn:nation:' || c_nationkey AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 2 = 0
+      AND 'urn:nation:' || c_nationkey <> 'urn:nation:5'
+    """
+
+
 def _o_kg_turtle_expand(_: str) -> str:
     return """
     SELECT 'urn:order:' || o_orderkey AS s,
@@ -4824,20 +4858,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position 50 silently drops it from the external gate (the
     round-4 lesson).
 
-    Round-8 window: (1) this round's seven never-driver-verified
-    rows — the generic BGP composer (kg_bgp), its OPTIONAL groups
-    (kg_bgp_optional), SPARQL UNION (kg_union), FILTER/EXISTS/NOT-
-    EXISTS clauses (kg_filter_exists), aggregation with HAVING
-    (kg_agg), a property-path arm inside the composer (kg_path_bgp),
-    and the GRAPH-scoped transitive closure (kg_graph_path); (2) the
+    Round-8 window: (1) this round's eight never-driver-verified
+    rows — the SPARQL text front-end (kg_sparql), the generic BGP
+    composer (kg_bgp), its OPTIONAL groups (kg_bgp_optional), SPARQL
+    UNION (kg_union), FILTER/EXISTS/NOT-EXISTS clauses
+    (kg_filter_exists), aggregation with HAVING (kg_agg), a
+    property-path arm inside the composer (kg_path_bgp), and the
+    GRAPH-scoped transitive closure (kg_graph_path); (2) the
     predefined rotation: the 15 round-5-verified session/event rows
-    then 28 of the 35 round-6-verified rows (exact_dedup, quality,
-    ngram_jaccard, cosine_topk, winnowing, simhash and contamination
-    retired, below — the retirements come OUT of the window section,
-    so no surviving window row slips past position 50).  Below the
-    line: the 50 round-7-verified rows — the round-9 window — so
-    every live row's external verification stays ≤ 2 rounds old
-    (VERDICT r6 #8).
+    then 27 of the 35 round-6-verified rows (exact_dedup, quality,
+    ngram_jaccard, cosine_topk, winnowing, simhash, contamination
+    and minhash_lsh retired, below — the retirements come OUT of the
+    window section, so no surviving window row slips past position
+    50).  Below the line: the 50 round-7-verified rows — the round-9
+    window — so every live row's external verification stays ≤ 2
+    rounds old (VERDICT r6 #8).
 
     Size policy (VERDICT r6 #8): the LIVE registry is capped at 100
     entries — two gate windows — so the rotation period never
@@ -4853,14 +4888,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stratified_sample, doc_profile, repetition.  Retired round 8
     (retire-on-add for kg_bgp/kg_graph_path, then
     kg_bgp_optional/kg_union, then kg_filter_exists/kg_agg/
-    kg_path_bgp; each hash-green in four-plus driver gates spanning
-    r1-r6): exact_dedup, quality, ngram_jaccard, cosine_topk,
-    winnowing, simhash, contamination — every retiree's scale-path
-    sibling stays live (prefix_jaccard, tfidf_cosine,
-    winnowing_matches, simhash_pairs, semantic_decon,
-    minhash_incremental, embedding_neardup)."""
+    kg_path_bgp, then kg_sparql; each hash-green in four-plus driver
+    gates spanning r1-r6): exact_dedup, quality, ngram_jaccard,
+    cosine_topk, winnowing, simhash, contamination, minhash_lsh —
+    every retiree's scale-path sibling stays live (prefix_jaccard,
+    tfidf_cosine, winnowing_matches, simhash_pairs, semantic_decon,
+    minhash_incremental, dedup_clusters, embedding_neardup)."""
     return {
         # -- (1) NEVER driver-verified: new this round ----------------
+        "kg_sparql": _q_kg_sparql,
         "kg_bgp": _q_kg_bgp,
         "kg_bgp_optional": _q_kg_bgp_optional,
         "kg_union": _q_kg_union,
@@ -4887,7 +4923,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (2b) last verified round 6 -------------------------------
         "nt_roundtrip": _q_nt_roundtrip,
         "dedup_keep_best": _q_dedup_keep_best,
-        "minhash_lsh": _q_minhash_lsh,
         "minhash_incremental": _q_minhash_incremental,
         "dedup_clusters": _q_dedup_clusters,
         "cluster_reps": _q_cluster_reps,
@@ -5002,12 +5037,14 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str],
         "winnowing": _q_winnowing,
         "simhash": _q_simhash,
         "contamination": _q_contamination,
+        "minhash_lsh": _q_minhash_lsh,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     sf = ""
     return {
+        "kg_sparql": _o_kg_sparql(sf),
         "kg_bgp": _o_kg_bgp(sf),
         "kg_bgp_optional": _o_kg_bgp_optional(sf),
         "kg_union": _o_kg_union(sf),
@@ -5017,7 +5054,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_bgp": _o_kg_path_bgp(sf),
         "nt_roundtrip": _o_nt_roundtrip(sf),
         "dedup_keep_best": _o_dedup_keep_best(sf),
-        "minhash_lsh": _o_minhash_lsh(sf),
         "minhash_incremental": _o_minhash_incremental(sf),
         "dedup_clusters": _o_dedup_clusters(sf),
         "cluster_reps": _o_cluster_reps(sf),
@@ -5138,4 +5174,5 @@ def retired_oracle_sql() -> dict[str, str]:
         "winnowing": _o_winnowing(sf),
         "simhash": _o_simhash(sf),
         "contamination": _o_contamination(sf),
+        "minhash_lsh": _o_minhash_lsh(sf),
     }

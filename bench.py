@@ -65,7 +65,7 @@ HEADLINE = [
     "tool_stats",
     "kg_path_quant", "kg_path_star", "kg_graph_scoped", "kg_minus",
     "kg_bgp", "kg_graph_path", "kg_bgp_optional", "kg_union",
-    "kg_filter_exists", "kg_agg", "kg_path_bgp",
+    "kg_filter_exists", "kg_agg", "kg_path_bgp", "kg_sparql",
 ]
 
 # Fixed-work single-thread calibration probe: committed uncontended

@@ -534,12 +534,28 @@ def _is_bgp_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def _const_subject_var(term: str) -> str:
+    """Internal binding name for a CONSTANT subject — deterministic
+    per constant, so arms (and OPTIONAL/EXISTS groups) naming the
+    same constant subject correlate on it like a shared variable."""
+    import hashlib
+
+    return "__c" + hashlib.md5(term.encode()).hexdigest()[:8]
+
+
 def _bgp_arm(t: DataFrame, pat, gcols: list):
     """One triple pattern as a binding DataFrame: constants become
     scan-pushed equality filters, variables become aliased binding
     columns, and a variable repeated WITHIN the arm (``?a p ?a``)
-    becomes an in-arm equality filter.  Returns ``(df, names)`` with
-    ``names`` mapping variable → source position ('s'/'p'/'o')."""
+    becomes an in-arm equality filter.  A constant SUBJECT on an arm
+    that binds at least one variable ALSO binds an internal
+    per-constant column (:func:`_const_subject_var`), so the
+    constant-subject star ``<s> p1 ?a ; p2 ?b`` joins on the shared
+    constant — SPARQL's per-subject product, bounded by one
+    subject's fan-out — instead of being rejected as disconnected
+    (fully-ground patterns stay broadcast guards).  Returns
+    ``(df, names)`` with ``names`` mapping variable → source
+    position ('s'/'p'/'o')."""
     s, p, o = pat
     df = t
     names: dict[str, str] = {}
@@ -557,6 +573,8 @@ def _bgp_arm(t: DataFrame, pat, gcols: list):
                 names[v] = pos
         else:
             df = df.where(F.col(pos) == F.lit(term))
+    if not _is_bgp_var(s) and names:
+        names[_const_subject_var(s)] = "s"
     proj = list(gcols) + [F.col(pos).alias(v)
                           for v, pos in names.items()]
     if proj:
@@ -742,6 +760,8 @@ def _bgp_path_arm(t: DataFrame, pat, gcols: list,
                 names[v] = pos
         else:
             df = df.where(F.col(pos) == F.lit(term))
+    if not _is_bgp_var(s) and names:
+        names[_const_subject_var(s)] = "_pa"
     df = df.select(*gcols, *(F.col(pos).alias(v)
                              for v, pos in names.items()))
     return df, names
@@ -780,10 +800,11 @@ def _bgp_join_tree(
             bound = (4 * (not _is_bgp_var(s))
                      + 2 * (not _is_bgp_var(o))
                      + (not _is_bgp_var(p)))
-        subj = s[1:] if _is_bgp_var(s) else None
+        subj = next((v for v, pos in names.items()
+                     if pos in ("s", "_pa")), None)
         arms.append((df, names, bound, subj))
         for v in names:
-            if v not in order:
+            if v not in order and not v.startswith("__c"):
                 order.append(v)
 
     remaining = set(range(len(arms)))
@@ -854,7 +875,12 @@ def bgp(
     (``ValueError``) rather than silently cross-producted — at
     corpus scale a cartesian is an outage, and SPARQL users who
     really mean a product can compose two ``bgp`` calls with an
-    explicit ``crossJoin``.  A fully-ground pattern (no variables)
+    explicit ``crossJoin``.  Exception: arms naming the SAME
+    CONSTANT SUBJECT count as connected (``<s> p1 ?a . <s> p2 ?b``
+    joins on the shared constant — the per-subject product SPARQL
+    specifies, bounded by one subject's fan-out, exactly what
+    ``bgp_star`` computes for one subject); DISTINCT constant
+    subjects still raise.  A fully-ground pattern (no variables)
     is the ASK-style guard: it filters the whole result to empty
     when absent, joined as a broadcast one-row existence flag, never
     a data-sized product.
