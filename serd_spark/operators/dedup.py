@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .util import spread
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup via content-hash groupBy: one representative
@@ -60,7 +62,12 @@ def _shingles_from_tokens(toks, k: int):
 def shingle_arrays(docs: DataFrame, text_col: str = "text",
                    k: int = 3, out: str = "sh") -> DataFrame:
     """(doc_id, <out>: array<string>) with tokens projected as a real
-    column first so the split runs once per row, not per element."""
+    column first so the split runs once per row, not per element.
+
+    The input is ``spread`` first (util.spread): shingling is the
+    CPU-dense stage of every consumer (explode + per-shingle md5),
+    and a narrow scan would otherwise run it on one core."""
+    docs = spread(docs)
     return (
         docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -256,27 +263,35 @@ def tfidf_cosine_pairs(
                 (F.col("_tf") * F.log(F.col("_n") / F.col("_df")))
                 .alias("_w"))
     )
-    norms = w.groupBy("doc_id").agg(
+    # Dot product via per-doc tok→weight MAPS + JVM map_zip_with,
+    # not a pair×token exploded join: the join form fans every pair
+    # out to its token count (pairs × ~100 rows through two joins —
+    # measured the whole operator at 26 s vs 10.6 s at sf1.0; guide
+    # §2.3 / §3.3).  map_filter keeps only keys present on BOTH
+    # sides, so the ≥1-shared-term row set and the 6-dp cosine are
+    # value-identical (cross-checked row-exact vs the join form).
+    vecs = w.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "_w")))
+        .alias("_m"),
         F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nrm"))
     p = F.broadcast(pairs) if broadcast_pairs else pairs
-    dots = (
-        p.join(w.select(F.col("doc_id").alias("doc_a"),
-                        "tok", F.col("_w").alias("_wa")), "doc_a")
-        .join(w.select(F.col("doc_id").alias("doc_b"),
-                       "tok", F.col("_w").alias("_wb")),
-              ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
-    )
-    cos = F.round(
-        F.col("_dot") / (F.col("_na") * F.col("_nb")), 6)
+    shared = F.map_filter(
+        F.map_zip_with("_ma", "_mb", lambda k, x, y: x * y),
+        lambda k, v: v.isNotNull())
+    cos = F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6)
     return (
-        dots
-        .join(norms.select(F.col("doc_id").alias("doc_a"),
+        p.join(vecs.select(F.col("doc_id").alias("doc_a"),
+                           F.col("_m").alias("_ma"),
                            F.col("_nrm").alias("_na")), "doc_a")
-        .join(norms.select(F.col("doc_id").alias("doc_b"),
-                           F.col("_nrm").alias("_nb")), "doc_b")
-        .where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .join(vecs.select(F.col("doc_id").alias("doc_b"),
+                          F.col("_m").alias("_mb"),
+                          F.col("_nrm").alias("_nb")), "doc_b")
+        .withColumn("_sh", shared)
+        .where((F.size("_sh") > 0)
+               & (F.col("_na") > 0) & (F.col("_nb") > 0))
+        .withColumn("_dot", F.aggregate(F.map_values("_sh"),
+                                        F.lit(0.0),
+                                        lambda acc, v: acc + v))
         .select("doc_a", "doc_b", cos.alias("cosine"))
     )
 
@@ -384,7 +399,7 @@ def cdc_chunks(
     boundary count → one aggregation rebuilding chunk text in token
     order.  Engine-portable definition (md5 + running sum) with an
     exact SQL mirror."""
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
         .alias("pos", "tok"),
@@ -570,7 +585,7 @@ def simhash(docs: DataFrame, text_col: str = "text",
     is set by adding -2^63, portable to the SQL oracle."""
     if not 1 <= n_bits <= 64:
         raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
         .alias("tok"),
@@ -611,6 +626,7 @@ def _exploded_tokens(docs: DataFrame, text_col: str) -> DataFrame:
     their cross-operator comparisons to mean anything; note
     ``simhash`` deliberately KEEPS empty tokens — its oracle mirrors
     that — so it does not use this helper)."""
+    docs = spread(docs)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
@@ -664,24 +680,28 @@ def prefix_filter_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    shared = (
-        cand
-        .join(toks.select(F.col("doc_id").alias("doc_a"), "tok"),
-              "doc_a")
-        .join(toks.select(F.col("doc_id").alias("doc_b"), "tok"),
-              ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("_ns"))
-    )
+    # Verify via per-doc sorted token ARRAYS + JVM array_intersect,
+    # not an exploded-token join: the join form fans out to
+    # pairs × avg-token-count rows (measured 619 CPU-seconds on the
+    # sf1.0 slice — 20× the rest of the operator combined; guide
+    # §2.3 "shuffle fewer bytes" / §3.3 explode-join note).  The
+    # intersect of two distinct sets counts exactly the shared
+    # tokens, so |A∩B| and the jaccard are value-identical
+    # (cross-checked row-exact vs the join form and the oracle).
+    sets = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("tok")).alias("_set"),
+        F.count("*").alias("_n"))
+    ns = F.size(F.array_intersect("_sa", "_sb")).cast("long")
     jac = F.round(
-        F.col("_ns")
-        / (F.col("_na") + F.col("_nb") - F.col("_ns")), 6)
+        ns / (F.col("_na") + F.col("_nb") - ns), 6)
     return (
-        shared
-        .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                           F.col("_n").alias("_na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("_n").alias("_nb")), "doc_b")
+        cand
+        .join(sets.select(F.col("doc_id").alias("doc_a"),
+                          F.col("_set").alias("_sa"),
+                          F.col("_n").alias("_na")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("_set").alias("_sb"),
+                          F.col("_n").alias("_nb")), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= tau)
     )
