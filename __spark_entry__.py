@@ -569,8 +569,12 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     is composed inline (lang_pred_col) — one corpus scan, no doc_id
     join."""
     from serd_spark.operators.text import lang_pred_col, stratified_sample
+    from serd_spark.operators.util import spread
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread BEFORE composing lang_pred: the projection would
+    # otherwise collapse into the one-split scan below the operator's
+    # repartition, evaluating the regex battery serially (guide §2.5)
+    docs = spread(_t(spark, sf_dir, "documents"))
     tagged = docs.withColumn("lang_pred", lang_pred_col(F.col("text")))
     rates = {"en": 0.25, "de": 0.8, "fr": 0.8, "es": 0.8, "und": 0.05}
     out = stratified_sample(tagged, rates, strata_col="lang_pred",
@@ -622,8 +626,10 @@ def _q_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quota mixing: exactly-N-per-language sample (counts, not
     rates), lang_pred composed inline on one scan."""
     from serd_spark.operators.text import lang_pred_col, stratified_take
+    from serd_spark.operators.util import spread
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread before composing lang_pred — see _q_stratified_sample
+    docs = spread(_t(spark, sf_dir, "documents"))
     tagged = docs.withColumn("lang_pred", lang_pred_col(F.col("text")))
     counts = {"en": 60, "de": 40, "fr": 40, "es": 40}
     out = stratified_take(tagged, counts, strata_col="lang_pred",

@@ -879,7 +879,7 @@ def exact_dedup_keep_best(
     if score is None:
         from .text import quality_score_col
 
-        joined = docs.select(
+        joined = spread(docs).select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.md5(F.col(text_col)).alias("content_hash"),
             quality_score_col(F.col(text_col)).alias("quality_score"),

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .util import spread
+
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic (deterministic, no model).
 LANG_STOPWORDS = {
@@ -137,7 +139,10 @@ def langid_confusion(
     table's ground-truth label: (lang_true, lang_pred, n) — the eval
     harness every classifier-style gate needs before its threshold is
     trusted at corpus scale.  One scan (``lang_pred_col`` composed
-    inline), one map-side-combined aggregation."""
+    inline), one map-side-combined aggregation.  The scan is
+    ``spread`` first — the per-row stopword regex battery is the cost
+    and must not run on a one-split input (util.spread)."""
+    docs = spread(docs)
     return (
         docs.select(F.col(truth_col).alias("lang_true"),
                     lang_pred_col(F.col(text_col)).alias("lang_pred"))
@@ -183,6 +188,7 @@ def lm_bigram_score(
     from .dedup import _shingles_from_tokens
 
     def tok_arrays(d):
+        d = spread(d)
         return d.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -241,7 +247,7 @@ def winnowing_fingerprints(
 
     from .dedup import _shingles_from_tokens
 
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"))
     grams = toks.select(
@@ -340,7 +346,7 @@ def vocab_topk(docs: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
+    toks = spread(docs).select(
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
         .alias("token")).where(F.col("token") != "")
     counts = toks.groupBy("token").agg(
@@ -372,7 +378,7 @@ def bigram_pmi(
     cut is engine-portable."""
     from .dedup import _shingles_from_tokens
 
-    toks = docs.select(
+    toks = spread(docs).select(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"))
     uni = (
         toks.select(F.explode("_t").alias("w"))
@@ -424,7 +430,7 @@ def tfidf_topk(
     from pyspark.sql import Window
 
     tf = (
-        docs.select(
+        spread(docs).select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.explode(F.split(F.trim(F.lower(F.col(text_col))),
                               r"\s+")).alias("term"))
@@ -482,7 +488,8 @@ def stratified_sample(
         f"{strata_col} string, _rate double")
     u = hash_uniform_col(F.col(key_col), salt)
     return (
-        docs.join(F.broadcast(rate_tbl), strata_col, "left")
+        spread(docs, barrier=True)
+        .join(F.broadcast(rate_tbl), strata_col, "left")
         .withColumn("_rate", F.coalesce("_rate", F.lit(default_rate)))
         .where(u < F.col("_rate"))
         .drop("_rate")
@@ -521,7 +528,8 @@ def stratified_take(
     w = Window.partitionBy(strata_col).orderBy(
         u.asc(), F.col(key_col).asc())
     return (
-        docs.join(F.broadcast(cnt_tbl), strata_col)
+        spread(docs, barrier=True)
+        .join(F.broadcast(cnt_tbl), strata_col)
         .withColumn("_rk", F.row_number().over(w))
         .where((F.col("_rk") <= F.lit(max_take))
                & (F.col("_rk") <= F.col("_take")))
@@ -582,7 +590,7 @@ def quality_buckets(
     number of thresholds strictly below the score, so bucket
     boundaries are closed on the left engine-portably."""
     q = quality_score_col(F.col(text_col))
-    scored = docs.select(q.alias("qs"))
+    scored = spread(docs).select(q.alias("qs"))
     th = scored.agg(*[
         F.round(F.percentile(F.col("qs"), F.lit(p)), 6)
         .alias(f"_t{i}")
@@ -633,7 +641,7 @@ def doc_length_profile(
         aggs.append(F.max(name).cast("long").alias(f"{name}_max"))
     text = F.col(text_col)
     return (
-        docs.select(
+        spread(docs).select(
             lang_pred_col(text).alias("lang_pred"),
             F.length(text).cast("double").alias("chars"),
             token_count_col(text).cast("double").alias("toks"))
@@ -688,9 +696,10 @@ DOMAIN_RE = r"https?://([A-Za-z0-9.\-]+)"
 
 def extract_urls(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, url, domain) — one row per URL occurrence.  Pure JVM
-    ``regexp_extract_all`` + explode: one scan, no shuffle."""
+    ``regexp_extract_all`` + explode: one scan, no shuffle (the scan
+    is ``spread`` first — the URL regex is the per-row cost)."""
     return (
-        docs.select(
+        spread(docs).select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.explode(F.regexp_extract_all(
                 F.col(text_col), F.lit(URL_RE), F.lit(0))).alias("url"))
@@ -836,7 +845,7 @@ def clean_corpus(
         F.round(1 - F.size(F.array_distinct(sh)) / n_sh, 6),
     ).otherwise(F.lit(0.0))
     n_email = F.regexp_count(text, F.lit(PII_PATTERNS[0][1]))
-    out = docs.select(
+    out = spread(docs, barrier=True).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         lang_pred_col(text).alias("lang_pred"),
         quality_score_col(text).alias("quality_score"),

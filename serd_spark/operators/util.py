@@ -22,10 +22,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+def spread(df: DataFrame, factor: int = 1,
+           barrier: bool = False) -> DataFrame:
     """Round-robin repartition ``df`` to ``factor ×
     defaultParallelism`` partitions IF it currently has fewer —
-    otherwise return it unchanged (no shuffle added at scale)."""
+    otherwise return it unchanged (no shuffle added at scale).
+
+    ``barrier=True`` additionally cuts the plan with a lazy
+    ``localCheckpoint`` AFTER the repartition: Catalyst pushes
+    deterministic filters through Repartition down to the narrow
+    scan, so a consumer that FILTERS on expensive derived columns
+    (the fused quality/langid gates) would otherwise evaluate the
+    whole expression battery on the one-split side anyway — the
+    barrier pins evaluation above the repartition (and evaluates the
+    checkpointed projection exactly once).  The barrier only applies
+    when the spread actually fired, i.e. on narrow (small) inputs —
+    wide inputs pass through untouched, so nothing corpus-sized is
+    ever checkpointed."""
     spark = df.sparkSession
     conf_target = int(
         spark.conf.get("spark.serd.spread.partitions", "-1"))
@@ -39,4 +52,7 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
         return df
     if cur >= target:
         return df
-    return df.repartition(target)
+    out = df.repartition(target)
+    if barrier:
+        out = out.localCheckpoint(eager=False)
+    return out
