@@ -83,9 +83,16 @@ def minhash_bands(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Per-document band minhashes: band b's signature =
-    min(md5(shingle || '#' || b)).  One row per (doc, band)."""
+    min(md5(shingle || '#' || b)).  One row per (doc, band).
+
+    The shingle array is ``array_distinct``ed BEFORE the explode:
+    min() is idempotent over duplicates, so the band minima are
+    value-identical, and the per-shingle md5 work (the operator's
+    dominant cost — n_bands hashes per shingle) drops by the
+    duplication factor (template-heavy corpora: measured 7.3 s →
+    3.5 s for the whole LSH pair join at sf1.0)."""
     sh = shingle_arrays(docs, text_col, shingle_k).select(
-        "doc_id", F.explode("sh").alias("shingle"))
+        "doc_id", F.explode(F.array_distinct("sh")).alias("shingle"))
     # All band minima in ONE aggregation: the shuffle carries only
     # n_docs rows of partial minima (map-side combine), not the
     # n_bands× exploded shingle stream; bands unpivot after, no
@@ -488,15 +495,20 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # orderable type.)  Each round is one checkpointed materialization
     # plus a cheap count over the already-checkpointed result.
     for _ in range(max_iter):
+        # the label table is node-sized but carries unknown stats
+        # after localCheckpoint, so without the explicit hint the
+        # planner shuffle-joins — re-shuffling the EDGE table every
+        # round (guide §3.1: hint when estimates are wrong)
         nbr = (
             edges.join(
-                labels.select(F.col("u").alias("v"),
-                              F.col("lbl").alias("vlbl")), "v")
+                F.broadcast(labels.select(F.col("u").alias("v"),
+                                          F.col("lbl").alias("vlbl"))),
+                "v")
             .groupBy("u")
             .agg(F.min("vlbl").alias("nlbl"))
         )
         labels = (
-            labels.join(nbr, "u", "left")
+            labels.join(F.broadcast(nbr), "u", "left")
             .select("u", F.col("lbl").alias("_prev"), F.least(
                 F.col("lbl"),
                 F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
@@ -843,10 +855,12 @@ def cluster_representatives(
     from .text import quality_score_col
 
     labels = dup_clusters(pairs, max_iter=max_iter)
-    scored = docs.select(
+    scored = spread(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         quality_score_col(F.col(text_col)).alias("quality_score"))
-    j = labels.join(scored, "doc_id")
+    # label table is pair-graph-node-sized with unknown post-
+    # checkpoint stats: broadcast it so the corpus side stays put
+    j = F.broadcast(labels).join(scored, "doc_id")
     wc = Window.partitionBy("cluster_id")
     wr = Window.partitionBy("cluster_id").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc())

@@ -80,10 +80,12 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     deg = (e.select(F.col("a").alias("nd"))
            .union(e.select(F.col("b").alias("nd")))
            .groupBy("nd").agg(F.count("*").alias("d")))
-    ed = (e.join(deg.select(F.col("nd").alias("a"),
-                            F.col("d").alias("da")), "a")
-          .join(deg.select(F.col("nd").alias("b"),
-                           F.col("d").alias("db")), "b"))
+    # node-sized degree table: broadcast both attach joins so the
+    # edge table is not shuffled twice (guide §3.1)
+    ed = (e.join(F.broadcast(deg.select(F.col("nd").alias("a"),
+                                        F.col("d").alias("da"))), "a")
+          .join(F.broadcast(deg.select(F.col("nd").alias("b"),
+                                       F.col("d").alias("db"))), "b"))
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
     oe = ed.select(
@@ -130,11 +132,15 @@ def kcore_peel(
     iterative-plan requirement as ``dup_clusters``/``pagerank``)."""
     edges = _sym_edges(pairs).localCheckpoint()
     for _ in range(n_rounds):
+        # keep-set is node-sized; materialize once per round and
+        # broadcast BOTH semi joins (see pagerank's stats note) so
+        # the edge table is never re-shuffled
         keep = (edges.groupBy("u").agg(F.count("*").alias("_d"))
-                .where(F.col("_d") >= k).select("u"))
+                .where(F.col("_d") >= k).select("u")).localCheckpoint()
         edges = (
-            edges.join(keep, "u", "leftsemi")
-            .join(keep.select(F.col("u").alias("v")), "v", "leftsemi")
+            edges.join(F.broadcast(keep), "u", "leftsemi")
+            .join(F.broadcast(keep.select(F.col("u").alias("v"))),
+                  "v", "leftsemi")
             .localCheckpoint()
         )
     return (edges.groupBy("u")
@@ -172,8 +178,10 @@ def label_propagation(
     from pyspark.sql import Window
 
     for _ in range(n_rounds):
+        # broadcast the node-sized label table — see pagerank's note
         nl = edges.join(
-            labels.select(F.col("node").alias("v"), "lbl"), "v")
+            F.broadcast(labels.select(F.col("node").alias("v"),
+                                      "lbl")), "v")
         counts = nl.groupBy("u", "lbl").agg(F.count("*").alias("_c"))
         w = Window.partitionBy("u").orderBy(
             F.col("_c").desc(), F.col("lbl").asc())
@@ -206,22 +214,28 @@ def pagerank(
     gate needs the quantization boundary far from that drift; see
     ``test_pagerank_rounding_survives_summation_order``."""
     edges = _sym_edges(pairs).localCheckpoint()
-    nodes = edges.select("u").distinct()
+    nodes = edges.select("u").distinct().localCheckpoint()
     n = nodes.count()
     outdeg = edges.groupBy("u").agg(
         F.count("*").alias("od")).localCheckpoint()
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    # Node-sized tables (ranks, outdeg, contrib) carry UNKNOWN size
+    # stats after localCheckpoint, so the planner falls back to
+    # shuffle joins — re-shuffling the EDGE table twice per round.
+    # The explicit broadcast hints (guide §3.1: hint when estimates
+    # are wrong) keep the edges unshuffled: one edge scan + map-side
+    # partial sums + one node-sized exchange per round.
     for _ in range(n_iter):
         contrib = (
-            edges.join(ranks, "u")
-            .join(outdeg, "u")
+            edges.join(F.broadcast(ranks), "u")
+            .join(F.broadcast(outdeg), "u")
             .select(F.col("v").alias("u"),
                     (F.col("r") / F.col("od")).alias("c"))
             .groupBy("u")
             .agg(F.sum("c").alias("in_sum"))
         )
         ranks = (
-            nodes.join(contrib, "u", "left")
+            nodes.join(F.broadcast(contrib), "u", "left")
             .select("u",
                     (F.lit((1.0 - damping) / n)
                      + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0)))
@@ -263,15 +277,17 @@ def pagerank_weighted(
     wdeg = sym.groupBy("u").agg(F.sum("w").alias("wd")).localCheckpoint()
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(n_iter):
+        # broadcast node-sized sides — see pagerank's stats note
         contrib = (
-            sym.join(ranks, "u").join(wdeg, "u")
+            sym.join(F.broadcast(ranks), "u")
+            .join(F.broadcast(wdeg), "u")
             .select(F.col("v").alias("u"),
                     (F.col("r") * F.col("w") / F.col("wd")).alias("c"))
             .groupBy("u")
             .agg(F.sum("c").alias("in_sum"))
         )
         ranks = (
-            nodes.join(contrib, "u", "left")
+            nodes.join(F.broadcast(contrib), "u", "left")
             .select("u",
                     (F.lit((1.0 - damping) / n)
                      + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0)))

@@ -696,10 +696,11 @@ DOMAIN_RE = r"https?://([A-Za-z0-9.\-]+)"
 
 def extract_urls(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, url, domain) — one row per URL occurrence.  Pure JVM
-    ``regexp_extract_all`` + explode: one scan, no shuffle (the scan
-    is ``spread`` first — the URL regex is the per-row cost)."""
+    ``regexp_extract_all`` + explode: one scan, no shuffle.  (NOT
+    ``spread`` — measured: the URL regex is cheaper than the extra
+    exchange, 0.6 s vs 1.0 s for domain_stats at sf1.0.)"""
     return (
-        spread(docs).select(
+        docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.explode(F.regexp_extract_all(
                 F.col(text_col), F.lit(URL_RE), F.lit(0))).alias("url"))
