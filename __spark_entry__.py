@@ -96,8 +96,13 @@ def _q_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\"^^<http://www.w3.org/2001/XMLSchema#integer> ."),
         ).alias("text"),
     )
+    from serd_spark.operators.util import spread
+
+    # the line parser is deliberately shuffle-free, so its
+    # parallelism is the INPUT's — spread the one-split part scan
+    # before the Python-heavy parse stage (guide §2.5)
     triples, _ = split_quarantine(
-        parse_ntriples_lines(src, salt_blanks=False))
+        parse_ntriples_lines(spread(src), salt_blanks=False))
     return triples.select(nquads_line_col(triples).alias("line"))
 
 
@@ -2406,7 +2411,12 @@ def _kg_turns_entities(spark: SparkSession, sf_dir: str,
     """Shared KG fixture: customer⋈nation⋈region turns + the alias
     dictionary (nation entities, optional ambiguous person homonyms,
     region entities) — ground truth known by construction."""
-    cust = _t(spark, sf_dir, "customer")
+    from serd_spark.operators.util import spread
+
+    # spread the one-split customer scan: the broadcast dim joins
+    # preserve its partitioning, and the downstream mention-detect
+    # gram explode is the expensive stage (guide §2.5)
+    cust = spread(_t(spark, sf_dir, "customer"))
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     turns = (
@@ -4187,7 +4197,12 @@ def _q_kg_named_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("tool").alias("role"), line.alias("text"),
         F.lit(None).cast("string").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"))
-    t, _ = split_quarantine(parse_documents(tdf, syntax="nquads"))
+    from serd_spark.operators.util import spread
+
+    # NQ routes to the shuffle-free line parser: spread the one-split
+    # orders scan so the parse stage is core-parallel (guide §2.5)
+    t, _ = split_quarantine(parse_documents(spread(tdf),
+                                            syntax="nquads"))
     return t.groupBy(
         F.coalesce(F.col("g"), F.lit("default")).alias("graph_iri")
     ).agg(
@@ -4390,7 +4405,12 @@ def _q_kg_graph_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("tool").alias("role"), line.alias("text"),
         F.lit(None).cast("string").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"))
-    t, _ = split_quarantine(parse_documents(tdf, syntax="nquads"))
+    from serd_spark.operators.util import spread
+
+    # spread before the shuffle-free NQ line parse — see
+    # _q_kg_named_graphs (guide §2.5)
+    t, _ = split_quarantine(parse_documents(spread(tdf),
+                                            syntax="nquads"))
     # bgp_star reads the quad table once per arm — materialize the
     # parse (the standard localCheckpoint stand-in, see kg_2hop) so
     # the star scans the triple table rather than re-running the
@@ -4556,7 +4576,12 @@ def _octree_quads_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("ts"))
 
     def build():
-        t, _ = split_quarantine(parse_documents(tdf, syntax="nquads"))
+        from serd_spark.operators.util import spread
+
+        # spread before the shuffle-free NQ line parse — see
+        # _q_kg_named_graphs (guide §2.5)
+        t, _ = split_quarantine(parse_documents(spread(tdf),
+                                                syntax="nquads"))
         return t
 
     return _cached_triples(spark, sf_dir, "octree_quads", build)

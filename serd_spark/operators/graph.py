@@ -355,7 +355,9 @@ def bfs_levels(
         nxt = _expand(frontier, visited)
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # union of already-checkpointed frontier frames — no
+        # re-checkpoint of the growing set (see bgp_path_quant)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     else:
         # loop exhausted with a non-empty LAST frontier — the closure
