@@ -1298,7 +1298,9 @@ def _o_ngram_jaccard(_: str) -> str:
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.dedup import simhash
 
-    return simhash(_t(spark, sf_dir, "documents"))
+    # spread_input=False: this row's count() prunes the vote
+    # aggregates, so the repartition would be pure overhead
+    return simhash(_t(spark, sf_dir, "documents"), spread_input=False)
 
 
 def _simhash_ctes() -> str:

@@ -588,7 +588,7 @@ def dup_clusters_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            n_bits: int = 64) -> DataFrame:
+            n_bits: int = 64, spread_input: bool = True) -> DataFrame:
     """Per-document SimHash over whitespace tokens: bit i of the
     signature is the majority vote of token-hash bit i.  64 bits by
     default — 16 was collision-prone at corpus scale.  Token hash =
@@ -597,7 +597,11 @@ def simhash(docs: DataFrame, text_col: str = "text",
     is set by adding -2^63, portable to the SQL oracle."""
     if not 1 <= n_bits <= 64:
         raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
-    toks = spread(docs).select(
+    # spread_input=False: a consumer that only counts signatures (the
+    # vote aggregates prune away) skips the repartition exchange
+    if spread_input:
+        docs = spread(docs)
+    toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
         .alias("tok"),
@@ -648,6 +652,7 @@ def _exploded_tokens(docs: DataFrame, text_col: str) -> DataFrame:
 
 def prefix_filter_pairs(
     docs: DataFrame, text_col: str = "text", tau: float = 0.6,
+    broadcast_prefixes: bool = True,
 ) -> DataFrame:
     """EXACT token-set similarity join via prefix filtering (the
     PPJoin/AllPairs family): every pair with token-Jaccard ≥ ``tau``
@@ -684,10 +689,24 @@ def prefix_filter_pairs(
                <= F.col("_n") - F.ceil(F.lit(tau) * F.col("_n")) + 1)
         .select("doc_id", "tok")
     )
+    # The candidate self-join FANS OUT (prefix rows → pairs), but its
+    # shuffle INPUT is tiny, so AQE's byte-based coalescing would run
+    # the whole pair expansion in one task.  ``broadcast_prefixes``
+    # (default, the ngram_jaccard broadcast_pairs dial) broadcasts
+    # the build side and spreads the probe side instead — the
+    # expansion then parallelizes by probe partitions and the first
+    # real shuffle (the distinct) carries genuine pair bytes that
+    # AQE sizes correctly.  Set False when the prefix table is too
+    # big to broadcast (corpus-scale runs): both sides then shuffle
+    # by token as before.
+    if broadcast_prefixes:
+        pref_probe, pref_build = spread(pref), F.broadcast(pref)
+    else:
+        pref_probe = pref_build = pref
     cand = (
-        pref.select(F.col("doc_id").alias("doc_a"), "tok")
-        .join(pref.select(F.col("doc_id").alias("doc_b"), "tok"),
-              "tok")
+        pref_probe.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(pref_build.select(F.col("doc_id").alias("doc_b"),
+                                "tok"), "tok")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

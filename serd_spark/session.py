@@ -29,15 +29,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce floor: AQE sizes post-shuffle partitions by BYTES,
-        # but the token/shingle/similarity stages are CPU-dense over
-        # short strings — a 1 MB shuffle can carry minutes of md5/
-        # regex/array work, and the default 1m floor collapses those
-        # stages to one task.  16k keeps them wide; at cluster scale
-        # partitions are far above either floor, so behavior there is
-        # unchanged.  Override with SPARK_GRAFT_MIN_PARTITION_SIZE.
+        # AQE coalesce floor: measured across the whole query board,
+        # the 1m default wins — a 16k floor sped one CPU-dense query
+        # up but cost 10-30% on a dozen small-shuffle queries via
+        # task-count overhead; the one query whose compute hid
+        # behind a tiny shuffle (prefix_filter_pairs) is fixed
+        # structurally with a broadcast candidate join instead.
+        # Env-overridable for cluster tuning.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-                os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"))
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
