@@ -676,7 +676,16 @@ def prefix_filter_pairs(
     verify stage joins full token sets only for candidate pairs.
     Every step mirrors exactly in SQL (same ceil of the same IEEE
     double ``tau·n``)."""
-    toks = _exploded_tokens(docs, text_col).distinct()
+    # The distinct token table is consumed FIVE times (dfreq, sizes,
+    # the prefix build and probe sides, and the verify sets) and each
+    # consumer would re-run the corpus scan + explode + distinct
+    # shuffle — the stage dump showed four ~20-exec-sec copies of the
+    # same tokenize stage at sf0.1.  The lazy localCheckpoint
+    # materializes it once per run and every consumer reads the
+    # checkpointed partitions (guide §3.3 "materialising an
+    # intermediate truncates the plan"; same pattern as kg_2hop).
+    toks = (_exploded_tokens(docs, text_col).distinct()
+            .localCheckpoint())
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("_n"))
     w = Window.partitionBy("doc_id").orderBy(
@@ -688,6 +697,9 @@ def prefix_filter_pairs(
         .where(F.col("_rn")
                <= F.col("_n") - F.ceil(F.lit(tau) * F.col("_n")) + 1)
         .select("doc_id", "tok")
+        # consumed twice (probe + broadcast build): checkpoint so the
+        # df-join + per-doc window runs once, not per consumer
+        .localCheckpoint()
     )
     # The candidate self-join FANS OUT (prefix rows → pairs), but its
     # shuffle INPUT is tiny, so AQE's byte-based coalescing would run
